@@ -1,0 +1,126 @@
+"""Single-train-step correctness + multi-device data-parallel tests
+(SURVEY.md §7 build stages 5-6). Runs on the 8-virtual-CPU-device backend
+set up in conftest."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ducosy_tpu.config import (
+    LossConfig,
+    ModelConfig,
+    SOFT_TISSUE,
+    TrainConfig,
+    replace,
+)
+from ducosy_tpu.parallel import data_mesh, replicate, shard_batch
+from ducosy_tpu.train import create_state, make_train_step, make_val_step
+from ducosy_tpu.train.schedule import lr_for_epoch
+
+IMG = 32
+CFG = replace(TrainConfig(), img_size=IMG, batch_size=8)
+MODEL = ModelConfig(num_residual_blocks=2)
+RANGE = SOFT_TISSUE  # 2 masks -> 3 input channels
+
+
+def _batch(rng, n=8):
+    return {
+        "a": jnp.asarray(rng.uniform(-1, 1, (n, IMG, IMG, 1)), jnp.float32),
+        "b": jnp.asarray(rng.uniform(-1, 1, (n, IMG, IMG, 1)), jnp.float32),
+        "masks": jnp.asarray(rng.integers(0, 2, (n, IMG, IMG, 2)), jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    state, gen, disc = create_state(jax.random.PRNGKey(0), CFG, RANGE, MODEL,
+                                    img_size=IMG)
+    return state, gen, disc
+
+
+def test_train_step_updates_all_networks(setup, rng):
+    state, gen, disc = setup
+    step = make_train_step(gen, disc, CFG, donate=False)
+    batch = _batch(rng)
+    new_state, metrics = step(state, batch)
+
+    for name in ("params_g_a2b", "params_g_b2a", "params_d_a", "params_d_b"):
+        before = jax.tree_util.tree_leaves(getattr(state, name))
+        after = jax.tree_util.tree_leaves(getattr(new_state, name))
+        changed = any(
+            not np.allclose(np.asarray(b), np.asarray(a))
+            for b, a in zip(before, after))
+        assert changed, f"{name} did not update"
+
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+    assert float(metrics["loss_G"]) > 0
+
+
+def test_train_step_deterministic(setup, rng):
+    state, gen, disc = setup
+    step = make_train_step(gen, disc, CFG, donate=False)
+    batch = _batch(rng)
+    _, m1 = step(state, batch)
+    _, m2 = step(state, batch)
+    np.testing.assert_allclose(float(m1["loss_G"]), float(m2["loss_G"]),
+                               rtol=1e-6)
+
+
+def test_val_step(setup, rng):
+    state, gen, disc = setup
+    vstep = make_val_step(gen, disc, CFG)
+    loss, fake_b = vstep(state, _batch(rng))
+    assert np.isfinite(float(loss))
+    assert fake_b.shape == (8, IMG, IMG, 1)
+
+
+def test_lr_schedule_matches_lambdalr():
+    # constant before decay_epoch, linear to 0 at the end (trainer.py:364)
+    assert lr_for_epoch(2e-4, 0, 200, 100) == 2e-4
+    assert lr_for_epoch(2e-4, 98, 200, 100) == 2e-4
+    np.testing.assert_allclose(lr_for_epoch(2e-4, 100, 200, 100),
+                               2e-4 * (1 - 1 / 100))
+    np.testing.assert_allclose(lr_for_epoch(2e-4, 199, 200, 100), 0.0,
+                               atol=1e-12)
+
+
+def test_set_learning_rate(setup):
+    state, _, _ = setup
+    new = state.set_learning_rate(1e-5)
+    import optax
+    assert float(optax.tree_utils.tree_get(new.opt_g, "learning_rate")) == \
+        pytest.approx(1e-5)
+
+
+def test_data_parallel_step_matches_single_device(setup, rng):
+    """The sharded step must produce the same losses and parameter updates as
+    the single-device step — data parallelism is a pure performance
+    transform."""
+    state, gen, disc = setup
+    batch = _batch(rng)
+
+    step = make_train_step(gen, disc, CFG, donate=False)
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = data_mesh()  # 8 virtual devices from conftest
+    assert mesh.devices.size == 8
+    sharded_state = replicate(mesh, state)
+    sharded_batch = shard_batch(mesh, batch)
+    dp_state, dp_metrics = step(sharded_state, sharded_batch)
+
+    np.testing.assert_allclose(float(dp_metrics["loss_G"]),
+                               float(ref_metrics["loss_G"]), rtol=2e-4)
+    np.testing.assert_allclose(float(dp_metrics["loss_D"]),
+                               float(ref_metrics["loss_D"]), rtol=2e-4)
+    # spot-check a parameter tensor for matching updates. Adam divides by
+    # sqrt(v); for near-zero gradients the cross-device reduction order can
+    # flip an update's direction, so allow deviations up to ~2*lr on a tiny
+    # fraction of elements while requiring bit-level agreement elsewhere.
+    ref_leaf = np.asarray(
+        jax.tree_util.tree_leaves(ref_state.params_g_a2b)[0])
+    dp_leaf = np.asarray(
+        jax.tree_util.tree_leaves(dp_state.params_g_a2b)[0])
+    diff = np.abs(dp_leaf - ref_leaf)
+    assert diff.max() < 2 * CFG.lr * 2
+    assert np.mean(diff < 1e-5) > 0.99
