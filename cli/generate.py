@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Inference + synthesis CLI.
+
+Mirrors the reference generate.py (:480-495): for every dataset/patient,
+run both HU-range generators over the NCCT series, write the raw/
+soft_tissue/lung working DICOM folders (generate.py:21-134), then
+complementarily composite + volume-postprocess into the final sCECT series
+(generate.py:137-299) — with the TPU-native engine batching slices and
+fusing both models into one XLA program instead of the reference's batch=1
+per-model loop.
+
+Two modes:
+  --fast (default on): whole-patient device pipeline (run_patient), writing
+    only the final output series (working folders skipped unless
+    --write_working).
+  --write_working: also materialize raw/soft_tissue/lung per-slice DICOMs
+    exactly like the reference's working dir layout.
+"""
+import argparse
+import glob
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="TPU DuCoSy-GAN inference")
+    p.add_argument("--input_dir_root", type=str, default="./data/input")
+    p.add_argument("--working_dir_root", type=str, default="./data/working")
+    p.add_argument("--output_dir_root", type=str, default="./data/output")
+    p.add_argument("--dataset_names", type=str, nargs="+", default=[])
+    p.add_argument("--ncct_folder", type=str, default="POST VUE")
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--slice_batch", type=int, default=16)
+    p.add_argument("--soft_tissue_model", type=str,
+                   default="./checkpoints/v3/Soft_Tissue_Generator_A2B.pth")
+    p.add_argument("--lung_model", type=str,
+                   default="./checkpoints/v3/Lung_Generator_A2B.pth")
+    p.add_argument("--window_center", type=float, default=40.0)
+    p.add_argument("--window_width", type=float, default=400.0)
+    p.add_argument("--write_working", action="store_true",
+                   help="also write raw/soft_tissue/lung working DICOMs")
+    p.add_argument("--synthesis_mode", type=str, default="overwrite",
+                   choices=["overwrite", "additive"],
+                   help="overwrite = sCECT v2 compositing; additive = the "
+                        "v3 enhancement-delta test path")
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    return p.parse_args(argv)
+
+
+def load_engine(args):
+    import jax.numpy as jnp
+
+    from ducosy_tpu.infer.engine import DualGeneratorEngine
+    from ducosy_tpu.train.checkpoint import load_params_npz
+
+    dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+
+    def load(path):
+        if path.endswith(".npz"):
+            return load_params_npz(path)
+        from ducosy_tpu.models.torch_import import (
+            generator_params_from_torch, load_torch_state_dict)
+        return generator_params_from_torch(load_torch_state_dict(path))
+
+    return DualGeneratorEngine(load(args.soft_tissue_model),
+                               load(args.lung_model),
+                               img_size=args.img_size, compute_dtype=dtype)
+
+
+def _read_series(folder):
+    from ducosy_tpu.data.pairing import sort_dicom_files
+    from ducosy_tpu.dicom import dcmread
+
+    files = sort_dicom_files(glob.glob(os.path.join(folder, "*.dcm")))
+    datasets = [dcmread(f) for f in files]
+    return files, datasets
+
+
+def _final_tags(out_ds, merged, series_description="DuCoSyGAN sCECT v2"):
+    """Final writeback tag surgery (generate.py:272-292)."""
+    out_ds.PixelData = np.ascontiguousarray(merged).tobytes()
+    vr = "US" if int(out_ds.get("PixelRepresentation", 0)) == 0 else "SS"
+    out_ds.add_new((0x0028, 0x0106), vr, int(merged.min()))
+    out_ds.add_new((0x0028, 0x0107), vr, int(merged.max()))
+    out_ds.WindowWidth = float(250 - (-1000))
+    out_ds.WindowCenter = float(-1000 + (250 - (-1000)) / 2)
+    out_ds.SeriesDescription = series_description
+
+
+def process_patient(engine, args, patient_dir, working_dir, output_dir):
+    from ducosy_tpu.dicom import dcmread
+    from ducosy_tpu.infer import synthesis
+
+    patient_id = os.path.basename(patient_dir)
+    ncct_path = os.path.join(patient_dir, args.ncct_folder)
+    if not os.path.isdir(ncct_path):
+        return False
+    files, datasets = _read_series(ncct_path)
+    if not files:
+        return False
+
+    slope = float(datasets[0].get("RescaleSlope", 1.0))
+    intercept = float(datasets[0].get("RescaleIntercept", 0.0))
+    volume = np.stack([ds.pixel_array for ds in datasets])
+    dtype = volume.dtype
+
+    out_patient = os.path.join(output_dir, patient_id)
+    os.makedirs(out_patient, exist_ok=True)
+
+    if args.write_working:
+        out = engine.generate_batch(volume.astype(np.float32), slope,
+                                    intercept)
+        wdir = os.path.join(working_dir, patient_id)
+        for sub in ("raw", "soft_tissue", "lung"):
+            os.makedirs(os.path.join(wdir, sub), exist_ok=True)
+        for i, (path, src) in enumerate(zip(files, datasets)):
+            name = os.path.basename(path)
+            shutil.copy(path, os.path.join(wdir, "raw", name))
+            for sub, arr in (("soft_tissue", out["st_stored"][i]),
+                             ("lung", out["lung_stored"][i])):
+                ds = src.copy()
+                px = arr.astype(dtype)
+                ds.SeriesDescription = (
+                    f"Synthetic CECT (from {src.get('SeriesDescription', '')})")
+                ds.PixelData = np.ascontiguousarray(px).tobytes()
+                ds.add_new((0x0028, 0x0106), "US" if px.dtype.kind == "u"
+                           else "SS", int(px.min()))
+                ds.add_new((0x0028, 0x0107), "US" if px.dtype.kind == "u"
+                           else "SS", int(px.max()))
+                ds.save_as(os.path.join(wdir, sub, name))
+
+        if args.synthesis_mode == "additive":
+            raw_hu = out["raw_hu"]
+            st_hu = (out["st_stored"].astype(np.float32) * slope + intercept)
+            lung_hu = (out["lung_stored"].astype(np.float32) * slope
+                       + intercept)
+            merged = synthesis.additive_composite(
+                volume.astype(np.float32), raw_hu, st_hu, lung_hu, slope)
+            final = synthesis.synthesize_volume(merged)
+            desc = "DuCoSyGAN sCECT v3"
+        else:
+            merged = synthesis.composite_volume(
+                volume.astype(np.float32), out["raw_hu"],
+                out["st_stored"], out["lung_stored"])
+            final = synthesis.synthesize_volume(merged)
+            desc = "DuCoSyGAN sCECT v2"
+    else:
+        # fast path: everything on device in one pass
+        final = engine.run_patient(volume.astype(np.float32), slope,
+                                   intercept, chunk=args.slice_batch)
+        desc = "DuCoSyGAN sCECT v2"
+
+    for idx, src in enumerate(datasets):
+        out_ds = src.copy()
+        _final_tags(out_ds, final[idx].astype(dtype), desc)
+        out_ds.save_as(os.path.join(out_patient, f"{idx:04d}.dcm"))
+    return True
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    engine = load_engine(args)
+    total = 0
+    for dataset_name in args.dataset_names:
+        input_dir = os.path.join(args.input_dir_root, dataset_name)
+        working_dir = os.path.join(args.working_dir_root, dataset_name)
+        output_dir = os.path.join(args.output_dir_root, dataset_name)
+        os.makedirs(output_dir, exist_ok=True)
+        patients = sorted(d for d in glob.glob(os.path.join(input_dir, "*"))
+                          if os.path.isdir(d))
+        print(f"dataset {dataset_name}: {len(patients)} patients")
+        for pdir in patients:
+            if process_patient(engine, args, pdir, working_dir, output_dir):
+                total += 1
+                print(f"  done {os.path.basename(pdir)}")
+    print(f"generation+synthesis complete: {total} patients")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,172 @@
+"""Batched dual-model inference engine.
+
+The reference inference loop runs one slice at a time through two generators
+sequentially (generate.py:89-102, batch=1). The TPU-native engine instead:
+
+  - stacks the soft-tissue and lung generator parameter trees on a leading
+    axis and runs BOTH models as one vmapped forward — a single XLA program
+    with twice the batch-parallel work, keeping the MXU fed;
+  - batches `slice_batch` slices per call with static shapes (one compile);
+  - performs the whole slice pipeline on device under one jit: stored pixels
+    -> HU -> both HU windows (modules/preprocess.py:68-90) -> resize to
+    img_size -> generators -> resize back -> stored-pixel outputs
+    (modules/preprocess.py:93-112), so each slice crosses host<->device
+    exactly once in each direction;
+  - bf16 compute by default (fp32 available for strict parity).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ducosy_tpu.config import LUNG, SOFT_TISSUE, InferConfig, ModelConfig, RangeConfig
+from ducosy_tpu.models import Generator
+from ducosy_tpu.models.torch_import import (
+    generator_params_from_torch,
+    load_torch_state_dict,
+)
+from ducosy_tpu.ops import hu
+from ducosy_tpu.ops.resize import resize_hw
+
+
+def _stack_params(a: Dict[str, Any], b: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.stack([jnp.asarray(x), jnp.asarray(y)]), a, b)
+
+
+class DualGeneratorEngine:
+    """Soft-tissue + lung generators fused into one vmapped forward."""
+
+    def __init__(self, st_params: Dict[str, Any], lung_params: Dict[str, Any],
+                 *, st_range: RangeConfig = SOFT_TISSUE,
+                 lung_range: RangeConfig = LUNG,
+                 model_cfg: ModelConfig = ModelConfig(),
+                 img_size: int = 512, compute_dtype=jnp.bfloat16):
+        self.st_range = st_range
+        self.lung_range = lung_range
+        self.img_size = img_size
+        # inference generators are 1-channel (generate.py:29-30): masks are a
+        # training-time conditioning; released A2B checkpoints take the image
+        # alone.
+        self.generator = Generator(
+            input_channels=1,
+            num_residual_blocks=model_cfg.num_residual_blocks,
+            base_channels=model_cfg.base_channels,
+            use_cbam=True,
+            dtype=compute_dtype,
+        )
+        self.params = _stack_params(st_params, lung_params)
+        self._forward = jax.jit(self._forward_impl,
+                                static_argnames=("out_h", "out_w"))
+
+    @classmethod
+    def from_torch_checkpoints(cls, st_path: str, lung_path: str, **kw):
+        """Load the released .pth A2B generators (generate.py:29-49)."""
+        st = generator_params_from_torch(load_torch_state_dict(st_path))
+        lung = generator_params_from_torch(load_torch_state_dict(lung_path))
+        return cls(st, lung, **kw)
+
+    # ---------------------------------------------------------------- core
+    def _apply_one(self, params, x):
+        return self.generator.apply({"params": params}, x)
+
+    def _forward_impl(self, params, stored, slope, intercept, *,
+                      out_h: int, out_w: int):
+        """(B, H, W) stored pixels -> dict of outputs, all on device."""
+        hu_img = hu.stored_to_hu(stored, slope, intercept)
+        st_in = hu.normalize_window(hu_img, self.st_range.hu_min,
+                                    self.st_range.hu_max)
+        lung_in = hu.normalize_window(hu_img, self.lung_range.hu_min,
+                                      self.lung_range.hu_max)
+        x = jnp.stack([st_in, lung_in])[..., None]       # (2, B, H, W, 1)
+        if x.shape[2:4] != (self.img_size, self.img_size):
+            x = resize_hw(x.transpose(0, 1, 4, 2, 3), self.img_size,
+                          self.img_size).transpose(0, 1, 3, 4, 2)
+        y = jax.vmap(self._apply_one)(params, x)         # (2, B, s, s, 1)
+        y = y[..., 0]                                     # (2, B, s, s)
+        if y.shape[-2:] != (out_h, out_w):
+            y = resize_hw(y, out_h, out_w)
+        st_hu = hu.denormalize_to_hu(y[0], self.st_range.hu_min,
+                                     self.st_range.hu_max)
+        lung_hu = hu.denormalize_to_hu(y[1], self.lung_range.hu_min,
+                                       self.lung_range.hu_max)
+        return {
+            "st_stored": hu.hu_to_stored(st_hu, slope, intercept),
+            "lung_stored": hu.hu_to_stored(lung_hu, slope, intercept),
+            "raw_hu": hu_img,
+        }
+
+    def generate_batch(self, stored: np.ndarray, slope: float,
+                       intercept: float,
+                       out_size: Tuple[int, int] | None = None
+                       ) -> Dict[str, np.ndarray]:
+        """Run a (B, H, W) batch of stored-pixel slices through both models.
+
+        Returns float32 stored-pixel outputs (caller casts to the original
+        DICOM dtype, preprocess.py:111) and the raw HU volume for
+        synthesis masks."""
+        stored = jnp.asarray(np.ascontiguousarray(stored), jnp.float32)
+        out_h, out_w = out_size or stored.shape[-2:]
+        out = self._forward(self.params, stored,
+                            jnp.float32(slope), jnp.float32(intercept),
+                            out_h=out_h, out_w=out_w)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    # ------------------------------------------------- full-patient pipeline
+    def run_patient(self, stored_volume: np.ndarray, slope: float,
+                    intercept: float, *, chunk: int = 16,
+                    pre_z_sigma: float = 0.8, sigma_z: float = 0.7,
+                    sigma_xy: float = 0.05, sharpen_amount: float = 1.7,
+                    sharpen_radius: float = 1.2) -> np.ndarray:
+        """Whole patient on device: chunked dual-model generation,
+        complementary compositing (generate.py:218-237), z-gaussian +
+        gaussian3d/unsharp volume postprocess (generate.py:254-263). The
+        volume crosses host<->device once each way; intermediate chunks stay
+        in HBM. Returns the final int16 stored-pixel volume."""
+        from ducosy_tpu.infer.postprocess import _postprocess_jit
+        from ducosy_tpu.ops.filters import gaussian_filter_1d
+
+        z, h, w = stored_volume.shape
+        pad = (-z) % chunk
+        stored = np.concatenate(
+            [stored_volume, stored_volume[-1:].repeat(pad, axis=0)]
+        ) if pad else stored_volume
+        stored = jnp.asarray(stored, jnp.float32)
+
+        merged_chunks = []
+        for start in range(0, stored.shape[0], chunk):
+            sl = stored[start:start + chunk]
+            out = self._forward(self.params, sl, jnp.float32(slope),
+                                jnp.float32(intercept), out_h=h, out_w=w)
+            merged_chunks.append(self._composite(
+                sl, out["raw_hu"], out["st_stored"], out["lung_stored"]))
+        merged = jnp.concatenate(merged_chunks)[:z]
+        merged = gaussian_filter_1d(merged, pre_z_sigma, axis=0)
+        # NOTE: the reference thresholds the high-density preserve mask on
+        # STORED pixel values, not HU — synthesis() feeds raw pixel arrays
+        # into postprocess_ct_volume's `volume >= 750` check
+        # (generate.py:213-263, postprocess.py:50). Reproduced verbatim.
+        final = _postprocess_jit(
+            merged, method="gaussian3d", enhance_sharpness=True,
+            hu_threshold=750.0,
+            sigma=1.0, sigma_z=sigma_z, sigma_xy=sigma_xy, base_sigma=1.5,
+            max_sigma=3.0, kernel_size=3, process_variance=1e-5,
+            measurement_variance=1e-2, sharpen_amount=sharpen_amount,
+            sharpen_radius=sharpen_radius)
+        return np.asarray(final)
+
+    @partial(jax.jit, static_argnums=(0,))
+    def _composite(self, raw_stored, raw_hu, st_stored, lung_stored):
+        """Device-side complementary compositing (generate.py:224-237):
+        soft-tissue range overwritten first, lung range second (lung wins the
+        shared -150 HU boundary)."""
+        st_mask = (raw_hu >= self.st_range.hu_min) & \
+            (raw_hu <= self.st_range.hu_max)
+        lung_mask = (raw_hu >= self.lung_range.hu_min) & \
+            (raw_hu <= self.lung_range.hu_max)
+        merged = jnp.where(st_mask, st_stored, raw_stored)
+        return jnp.where(lung_mask, lung_stored, merged)

@@ -81,16 +81,27 @@ def _gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
-def _conv_along_axis(vol, kernel_1d, axis, pad_mode="reflect"):
+def _pad_axis_symmetric(x, axis, r):
+    """scipy.ndimage 'reflect' boundary (= numpy 'symmetric': edge value
+    duplicated), applied iteratively so pads wider than the axis tile the
+    reflection like scipy does."""
+    while r > 0:
+        step = min(r, x.shape[axis])
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (step, step)
+        x = jnp.pad(x, pad, mode="symmetric")
+        r -= step
+    return x
+
+
+def _conv_along_axis(vol, kernel_1d, axis, pad_mode="symmetric"):
     """Correlate a (Z,H,W) volume with a 1-D kernel along `axis`, using
-    scipy.ndimage's default 'reflect' boundary mode."""
+    scipy.ndimage's default 'reflect' boundary mode (numpy 'symmetric')."""
     k = kernel_1d.shape[0]
     if k == 1:
         return vol * kernel_1d[0]
     r = k // 2
-    pad = [(0, 0)] * vol.ndim
-    pad[axis] = (r, r)
-    x = jnp.pad(vol, pad, mode=pad_mode)
+    x = _pad_axis_symmetric(vol, axis, r)
     # Move target axis last, flatten the rest to a batch, 1-D conv, restore.
     x = jnp.moveaxis(x, axis, -1)
     lead = x.shape[:-1]

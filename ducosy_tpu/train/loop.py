@@ -1,0 +1,179 @@
+"""The full training loop for one HU-range CycleGAN.
+
+TPU-native rebuild of train_cycle_gan (modules/trainer.py:297-597):
+  - models/optimizers/losses identical in topology and hyperparameters,
+  - checkpoint resume (Orbax full-state) with best/last/epoch snapshots,
+  - patient-level seeded 80/20 split (trainer.py:422-427),
+  - async host loader feeding mesh-sharded device batches,
+  - per-epoch LambdaLR-equivalent lr injection (trainer.py:534-536),
+  - per-epoch validation (GAN+cycle+identity objective, single pass) and
+    [A | fake_B | B] windowed image grid (trainer.py:543-547),
+  - JSONL metrics stream (step + epoch records).
+
+Differences by design: data parallelism is jit-with-shardings over a 1-D
+mesh (ICI all-reduce) instead of nn.DataParallel; batches are padded to
+static shapes; bf16 compute with fp32 params by default.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ducosy_tpu.config import (
+    LossConfig,
+    ModelConfig,
+    RANGES,
+    RangeConfig,
+    TrainConfig,
+)
+from ducosy_tpu.data import HostLoader, SlicePairDataset, list_patient_dirs, train_val_split
+from ducosy_tpu.ops import hu as hu_ops
+from ducosy_tpu.parallel import data_mesh, replicate, shard_batch
+from ducosy_tpu.train import checkpoint as ckpt
+from ducosy_tpu.train.schedule import lr_for_epoch
+from ducosy_tpu.train.state import create_state
+from ducosy_tpu.train.step import make_train_step, make_val_step
+from ducosy_tpu.utils.imaging import save_comparison_grid
+from ducosy_tpu.utils.logging import MetricsLogger, StepTimer
+
+
+def _to_device_batch(mesh, batch: Dict[str, np.ndarray]):
+    return shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+
+
+def train_cycle_gan(cfg: TrainConfig, target_range: str,
+                    model_cfg: ModelConfig = ModelConfig(),
+                    loss_cfg: LossConfig = LossConfig(), *,
+                    range_cfg: Optional[RangeConfig] = None,
+                    mesh=None,
+                    max_epochs: Optional[int] = None,
+                    max_steps_per_epoch: Optional[int] = None,
+                    num_devices: Optional[int] = None) -> Dict[str, float]:
+    """Train one HU-range CycleGAN; returns summary stats (for tests/CLI)."""
+    if target_range not in RANGES and range_cfg is None:
+        raise ValueError(
+            "target_range must be either 'soft_tissue' or 'lung'")
+    range_cfg = range_cfg or RANGES[target_range]
+
+    training_dir = os.path.join(cfg.training_dir, target_range)
+    images_dir = os.path.join(training_dir, "images")
+    saved_models_dir = os.path.join(training_dir, "saved_models")
+    os.makedirs(images_dir, exist_ok=True)
+    os.makedirs(saved_models_dir, exist_ok=True)
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    state, gen, disc = create_state(
+        jax.random.PRNGKey(cfg.init_seed), cfg, range_cfg, model_cfg,
+        dtype=dtype)
+
+    start_epoch = 0
+    best = ckpt.BestTracker(saved_models_dir)
+    if cfg.resume:
+        restored = ckpt.restore_checkpoint(
+            os.path.join(saved_models_dir, cfg.resume), state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(state.epoch) + 1
+            best.best_val = float(state.best_val_loss)
+            best.best_epoch = int(state.best_epoch)
+            print(f"=> resumed from epoch {start_epoch}")
+        else:
+            print(f"=> no checkpoint at {saved_models_dir}/{cfg.resume}, "
+                  "training from scratch")
+
+    # ---- data (trainer.py:419-436)
+    patients = list_patient_dirs(cfg.data_root, cfg.dataset_names)
+    train_dirs, val_dirs = train_val_split(patients, cfg.val_split,
+                                           cfg.split_seed)
+    train_ds = SlicePairDataset(train_dirs, range_cfg, img_size=cfg.img_size,
+                                ncct_folder=cfg.ncct_folder,
+                                cect_folder=cfg.cect_folder)
+    val_ds = SlicePairDataset(val_dirs, range_cfg, img_size=cfg.img_size,
+                              ncct_folder=cfg.ncct_folder,
+                              cect_folder=cfg.cect_folder)
+    if len(train_ds) == 0:
+        raise RuntimeError(
+            f"no training slice pairs under {cfg.data_root}/{cfg.dataset_names}")
+    loader = HostLoader(train_ds, cfg.batch_size, shuffle=True,
+                        seed=cfg.split_seed, num_workers=cfg.num_workers)
+    val_loader = HostLoader(val_ds, cfg.batch_size * 2, shuffle=False,
+                            num_workers=cfg.num_workers) \
+        if len(val_ds) else None
+    fixed_val_batch = next(iter(val_loader)) if val_loader else None
+    print(f"Train/Val split: {len(train_ds)} / {len(val_ds)} slices")
+
+    mesh = mesh or data_mesh(num_devices)
+    state = replicate(mesh, state)
+    train_step = make_train_step(gen, disc, cfg, loss_cfg)
+    val_step = make_val_step(gen, disc, cfg)
+
+    logger = MetricsLogger(os.path.join(training_dir, "metrics.jsonl"))
+    epochs = min(cfg.epochs, start_epoch + max_epochs) if max_epochs \
+        else cfg.epochs
+    last_metrics: Dict[str, float] = {}
+
+    for epoch in range(start_epoch, epochs):
+        lr = lr_for_epoch(cfg.lr, epoch, cfg.epochs, cfg.decay_epoch)
+        state = state.set_learning_rate(lr)
+        timer = StepTimer()
+
+        for step_idx, host_batch in enumerate(loader):
+            if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
+                break
+            batch = _to_device_batch(mesh, host_batch)
+            state, metrics = train_step(state, batch)
+            timer.tick()
+            if step_idx % cfg.log_every == 0:
+                last_metrics = {k: float(v) for k, v in metrics.items()}
+                logger.log({"epoch": epoch + 1, "step": step_idx, "lr": lr,
+                            "steps_per_s": timer.rate(), **last_metrics})
+
+        # ---- validation + image grid (trainer.py:543-547)
+        val_loss = float("nan")
+        if val_loader is not None:
+            total, n_batches = 0.0, 0
+            for vb_idx, host_batch in enumerate(val_loader):
+                if max_steps_per_epoch and vb_idx >= max_steps_per_epoch:
+                    break
+                loss, _ = val_step(state, _to_device_batch(mesh, host_batch))
+                total += float(loss)
+                n_batches += 1
+            val_loss = total / max(n_batches, 1)
+
+            _, fake_b = val_step(state,
+                                 _to_device_batch(mesh, fixed_val_batch))
+            win = lambda x: np.asarray(hu_ops.apply_windowing(
+                jnp.asarray(x), range_cfg.hu_min, range_cfg.hu_max,
+                range_cfg.window_center, range_cfg.window_width))
+            save_comparison_grid(
+                os.path.join(images_dir, f"epoch_{epoch + 1}.jpg"),
+                win(fixed_val_batch["a"]), win(np.asarray(fake_b)),
+                win(fixed_val_batch["b"]))
+
+        # ---- snapshots + full checkpoint (trainer.py:549-597)
+        params_a2b = jax.device_get(state.params_g_a2b)
+        params_b2a = jax.device_get(state.params_g_b2a)
+        if val_loader is not None and np.isfinite(val_loss):
+            if best.update(epoch + 1, val_loss, params_a2b, params_b2a,
+                           num_residual_blocks=model_cfg.num_residual_blocks):
+                print(f"new best epoch {epoch + 1}: val={val_loss:.4f}")
+        ckpt.save_epoch_snapshots(saved_models_dir, epoch + 1, params_a2b,
+                                  params_b2a)
+        state = state.replace(
+            epoch=jnp.asarray(epoch, jnp.int32),
+            best_val_loss=jnp.asarray(best.best_val, jnp.float32),
+            best_epoch=jnp.asarray(best.best_epoch, jnp.int32))
+        ckpt.save_checkpoint(os.path.join(saved_models_dir, "checkpoint"),
+                             state)
+        logger.log({"epoch": epoch + 1, "val_loss": val_loss, "lr": lr,
+                    **{f"train_{k}": v for k, v in last_metrics.items()}},
+                   force_print=True)
+
+    logger.close()
+    return {"val_loss": val_loss if val_loader else float("nan"),
+            "best_val_loss": best.best_val, "best_epoch": best.best_epoch,
+            "epochs_run": epochs - start_epoch, **last_metrics}

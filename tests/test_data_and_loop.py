@@ -1,0 +1,130 @@
+"""Integration tests: pairing/dataset/loader on synthetic DICOM patients and
+a tiny end-to-end training run with checkpoint resume."""
+import os
+
+import numpy as np
+import pytest
+
+from ducosy_tpu.config import (
+    LUNG,
+    ModelConfig,
+    RangeConfig,
+    SOFT_TISSUE,
+    TrainConfig,
+    replace,
+)
+from ducosy_tpu.data import (
+    HostLoader,
+    SlicePairDataset,
+    list_patient_dirs,
+    pair_patient_slices,
+    train_val_split,
+)
+from tests.synth import write_dataset, write_patient
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    write_dataset(str(root), n_patients=3, n_slices=4, size=64)
+    return str(root)
+
+
+def test_pairing(synth_root):
+    patients = list_patient_dirs(synth_root, "SynthSet")
+    assert len(patients) == 3
+    pairs = pair_patient_slices(patients[0], "POST VUE", "POST STD")
+    assert len(pairs) == 4
+    # ordered by InstanceNumber
+    names = [os.path.basename(a) for a, _ in pairs]
+    assert names == sorted(names)
+
+
+def test_split_seeded(synth_root):
+    patients = list_patient_dirs(synth_root, "SynthSet")
+    t1, v1 = train_val_split(patients, 1 / 3, seed=42)
+    t2, v2 = train_val_split(patients, 1 / 3, seed=42)
+    assert t1 == t2 and v1 == v2
+    assert len(v1) == 1 and len(t1) == 2
+    assert set(t1) | set(v1) == set(patients)
+
+
+def test_dataset_sample_with_auto_masks(synth_root):
+    patients = list_patient_dirs(synth_root, "SynthSet")
+    ds = SlicePairDataset(patients, SOFT_TISSUE, img_size=64)
+    assert len(ds) == 12
+    s = ds[0]
+    assert s["a"].shape == (64, 64, 1) and s["a"].dtype == np.float32
+    assert s["b"].shape == (64, 64, 1)
+    assert s["masks"].shape == (64, 64, 2)  # bone + mediastinum
+    assert s["a"].min() >= -1.0 and s["a"].max() <= 1.0
+    assert set(np.unique(s["masks"])) <= {0.0, 1.0}
+    # CECT has contrast the NCCT lacks (max saturates at the clipped spine,
+    # so compare the mean brightness)
+    assert s["b"].mean() > s["a"].mean()
+
+
+def test_dataset_lung_range(synth_root, tmp_path):
+    # 128px patient: the lung detector's fixed 32px border margin
+    # (mask_generator.py:25-29) blanks out 64px slices entirely
+    write_patient(str(tmp_path / "p0"), n_slices=2, size=128)
+    ds = SlicePairDataset([str(tmp_path / "p0")], LUNG, img_size=32)
+    s = ds[0]
+    assert s["masks"].shape == (32, 32, 1)  # lung only
+    assert s["masks"].sum() > 0
+
+
+def test_loader_batching(synth_root):
+    patients = list_patient_dirs(synth_root, "SynthSet")
+    ds = SlicePairDataset(patients, SOFT_TISSUE, img_size=32)
+    loader = HostLoader(ds, batch_size=8, shuffle=True, seed=0,
+                        num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2  # 12 samples -> 8 + padded 8
+    for b in batches:
+        assert b["a"].shape == (8, 32, 32, 1)
+        assert b["masks"].shape == (8, 32, 32, 2)
+    # epochs reshuffle
+    b2 = next(iter(loader))
+    assert not np.allclose(b2["a"], batches[0]["a"])
+
+
+def test_loader_drop_last(synth_root):
+    patients = list_patient_dirs(synth_root, "SynthSet")
+    ds = SlicePairDataset(patients, SOFT_TISSUE, img_size=32)
+    loader = HostLoader(ds, batch_size=8, shuffle=False, drop_last=True)
+    assert len(list(loader)) == 1
+
+
+@pytest.mark.slow
+def test_train_loop_end_to_end(synth_root, tmp_path):
+    """Two tiny epochs + resume for one more: checkpoints, images, metrics,
+    monotone epoch bookkeeping (SURVEY.md §7 stage 6)."""
+    from ducosy_tpu.train.loop import train_cycle_gan
+
+    cfg = replace(
+        TrainConfig(),
+        epochs=10, decay_epoch=2, batch_size=8, img_size=64, num_workers=2,
+        data_root=synth_root, dataset_names="SynthSet",
+        training_dir=str(tmp_path / "run"), val_split=1 / 3,
+        compute_dtype="float32", log_every=1)
+    mcfg = ModelConfig(num_residual_blocks=1)
+
+    out = train_cycle_gan(cfg, "soft_tissue", mcfg, max_epochs=2)
+    assert out["epochs_run"] == 2
+    assert np.isfinite(out["val_loss"])
+
+    run = tmp_path / "run" / "soft_tissue"
+    saved = run / "saved_models"
+    assert (saved / "checkpoint").is_dir()
+    assert (saved / "G_A2B_last.npz").exists()
+    assert (saved / "G_A2B_epoch_2.npz").exists()
+    assert (run / "images" / "epoch_1.jpg").exists()
+    assert (run / "metrics.jsonl").exists()
+    best = list(saved.glob("G_A2B_best_epoch_*.npz"))
+    assert len(best) == 1  # previous best deleted
+
+    # resume one more epoch
+    out2 = train_cycle_gan(cfg, "soft_tissue", mcfg, max_epochs=1)
+    assert out2["epochs_run"] == 1
+    assert (saved / "G_A2B_epoch_3.npz").exists()

@@ -1,0 +1,167 @@
+"""Inference stack tests: volume postprocess parity vs scipy, synthesis
+compositing semantics, and the batched dual-generator engine."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from scipy.ndimage import gaussian_filter, gaussian_filter1d, median_filter
+
+from ducosy_tpu.config import LUNG, SOFT_TISSUE, InferConfig, ModelConfig
+from ducosy_tpu.infer import postprocess as pp
+from ducosy_tpu.infer import synthesis
+from ducosy_tpu.infer.engine import DualGeneratorEngine
+from ducosy_tpu.models import Generator
+
+
+def _vol(rng, z=6, h=32, w=32):
+    return rng.uniform(-1000, 1500, (z, h, w)).astype(np.float32)
+
+
+def test_gaussian3d_matches_scipy(rng):
+    vol = _vol(rng)
+    got = pp.postprocess_ct_volume(vol, method="gaussian3d",
+                                   enhance_sharpness=False,
+                                   sigma_z=0.7, sigma_xy=0.05)
+    want = gaussian_filter(vol, sigma=(0.7, 0.05, 0.05))
+    want = np.where(vol >= 750, vol, want).astype(np.int16)
+    np.testing.assert_allclose(got, want, atol=1)
+
+
+def test_gaussian_z_matches_scipy(rng):
+    vol = _vol(rng)
+    got = pp.postprocess_ct_volume(vol, method="gaussian",
+                                   enhance_sharpness=False, sigma=0.8)
+    want = gaussian_filter1d(vol, sigma=0.8, axis=0)
+    want = np.where(vol >= 750, vol, want).astype(np.int16)
+    np.testing.assert_allclose(got, want, atol=1)
+
+
+def test_median_matches_scipy(rng):
+    vol = _vol(rng)
+    got = pp.postprocess_ct_volume(vol, method="median",
+                                   enhance_sharpness=False, kernel_size=3)
+    want = median_filter(vol, size=(3, 1, 1))
+    want = np.where(vol >= 750, vol, want).astype(np.int16)
+    np.testing.assert_allclose(got, want, atol=1)
+
+
+def test_unsharp_matches_reference_formula(rng):
+    vol = _vol(rng)
+    sm = gaussian_filter(vol, sigma=(0.7, 0.05, 0.05))
+    got = np.asarray(pp.unsharp_mask(jnp.asarray(sm), jnp.asarray(vol),
+                                     amount=1.7, radius=1.2))
+    blurred = gaussian_filter(sm.astype(np.float64), sigma=(0, 1.2, 1.2))
+    high = sm - blurred
+    oblur = gaussian_filter(vol.astype(np.float64), sigma=(0, 1.2, 1.2))
+    ohigh = vol - oblur
+    comb = (1 - 1.7) * high + 1.7 * ohigh
+    want = np.clip(sm + comb * 1.7, vol.min(), vol.max())
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=0.5)
+
+
+def test_bone_preserved(rng):
+    vol = _vol(rng)
+    vol[2, 10, 10] = 1400.0
+    got = pp.postprocess_ct_volume(vol, method="gaussian3d", sigma_z=2.0,
+                                   sigma_xy=0.5, enhance_sharpness=False)
+    assert got[2, 10, 10] == 1400
+
+
+def test_kalman_matches_reference_recursion(rng):
+    vol = _vol(rng, z=8, h=4, w=4)
+    got = np.asarray(pp.kalman_filter_z(jnp.asarray(vol), 1e-5, 1e-2))
+
+    def kalman_1d(m, q, r):
+        x, p = m[0], 1.0
+        out = np.zeros_like(m)
+        for k in range(len(m)):
+            p_pred = p + q
+            gain = p_pred / (p_pred + r)
+            x = x + gain * (m[k] - x)
+            p = (1 - gain) * p_pred
+            out[k] = x
+        return out
+
+    want = np.zeros_like(vol)
+    for i in range(4):
+        for j in range(4):
+            want[:, i, j] = kalman_1d(vol[:, i, j].astype(np.float64),
+                                      1e-5, 1e-2)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-2)
+
+
+def test_interpolation_method_runs(rng):
+    vol = _vol(rng)
+    out = pp.postprocess_ct_volume(vol, method="interpolation",
+                                   enhance_sharpness=False)
+    assert out.shape == vol.shape and out.dtype == np.int16
+
+
+def test_unknown_method_raises(rng):
+    with pytest.raises(ValueError):
+        pp.postprocess_ct_volume(_vol(rng), method="nope")
+
+
+def test_composite_slice_semantics():
+    raw_hu = np.array([[-500.0, -150.0], [0.0, 400.0]], np.float32)
+    raw = np.array([[524, 874], [1024, 1424]], np.float32)
+    st = raw + 10
+    lung = raw + 100
+    out = synthesis.composite_slice(raw, raw_hu, st, lung)
+    # -500 HU -> lung range only; -150 -> both, lung wins (applied second);
+    # 0 -> soft tissue; 400 -> out of both ranges -> raw preserved
+    assert out[0, 0] == raw[0, 0] + 100
+    assert out[0, 1] == raw[0, 1] + 100
+    assert out[1, 0] == raw[1, 0] + 10
+    assert out[1, 1] == raw[1, 1]
+
+
+def test_composite_volume_matches_slice(rng):
+    raw_hu = rng.uniform(-1100, 600, (3, 8, 8)).astype(np.float32)
+    raw = (raw_hu + 1024)
+    st, lung = raw + 7, raw + 13
+    vol = synthesis.composite_volume(raw, raw_hu, st, lung)
+    per = np.stack([synthesis.composite_slice(raw[z], raw_hu[z], st[z],
+                                              lung[z]) for z in range(3)])
+    np.testing.assert_array_equal(vol, per)
+
+
+def test_additive_composite():
+    raw_hu = np.array([[-500.0, 0.0, 100.0]], np.float32)
+    raw = raw_hu + 1024
+    st_hu = raw_hu + np.array([[50.0, 3.0, 20.0]], np.float32)
+    lung_hu = raw_hu.copy()
+    out = synthesis.additive_composite(raw, raw_hu, st_hu, lung_hu, 1.0)
+    assert out[0, 0] == raw[0, 0]          # below -400 HU floor
+    assert out[0, 1] == raw[0, 1]          # enhancement below threshold
+    assert out[0, 2] == raw[0, 2] + 20.0   # applied
+
+
+def test_dual_engine_smoke(rng):
+    """Tiny dual-generator engine: output shapes, finite stored pixels in the
+    expected windows, resize round-trip for non-512 input."""
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    p2 = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))["params"]
+    eng = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                              compute_dtype=jnp.float32)
+    stored = rng.integers(0, 3000, (4, 48, 48)).astype(np.float32)
+    out = eng.generate_batch(stored, 1.0, -1024.0)
+    assert out["st_stored"].shape == (4, 48, 48)
+    assert out["lung_stored"].shape == (4, 48, 48)
+    assert out["raw_hu"].shape == (4, 48, 48)
+    # outputs must be within each model's HU window mapped to stored units
+    st = out["st_stored"] - 1024.0
+    lg = out["lung_stored"] - 1024.0
+    assert st.min() >= SOFT_TISSUE.hu_min - 1 and \
+        st.max() <= SOFT_TISSUE.hu_max + 1
+    assert lg.min() >= LUNG.hu_min - 1 and lg.max() <= LUNG.hu_max + 1
+    np.testing.assert_allclose(out["raw_hu"], stored - 1024.0, atol=1e-3)
+
+
+def test_synthesize_volume_pipeline(rng):
+    vol = rng.uniform(500, 1500, (5, 16, 16)).astype(np.float32)
+    out = synthesis.synthesize_volume(vol, InferConfig())
+    assert out.shape == vol.shape
+    assert out.dtype == np.int16
