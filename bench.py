@@ -46,20 +46,23 @@ def main():
                                  compute_dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    stored = rng.integers(0, 3000, (n_slices, 512, 512)).astype(np.float32)
+    patients = [rng.integers(0, 3000, (n_slices, 512, 512)).astype(np.int16)
+                for _ in range(repeats)]
 
-    # warmup (compile)
-    engine.run_patient(stored[:chunk * 2], 1.0, -1024.0, chunk=chunk)
+    # warmup (compile both program shapes)
+    engine.run_patient(patients[0], 1.0, -1024.0, chunk=chunk)
 
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = engine.run_patient(stored, 1.0, -1024.0, chunk=chunk)
-        times.append(time.perf_counter() - t0)
-    assert out.shape == stored.shape and out.dtype == np.int16
+    # steady-state throughput: issue all patients asynchronously so upload,
+    # compute, and download pipeline across patients (one dispatch each)
+    t0 = time.perf_counter()
+    pending = [engine.run_patient_async(p, 1.0, -1024.0, chunk=chunk)
+               for p in patients]
+    outs = [np.asarray(o) for o in pending]
+    elapsed = time.perf_counter() - t0
+    for out, stored in zip(outs, patients):
+        assert out.shape == stored.shape and out.dtype == np.int16
 
-    best = min(times)
-    slices_per_s = n_slices / best
+    slices_per_s = (n_slices * repeats) / elapsed
     print(json.dumps({
         "metric": "512x512 CT slices/sec/chip (dual-model generate + "
                   "complementary synthesis + volume postprocess)",

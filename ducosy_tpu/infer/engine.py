@@ -49,17 +49,38 @@ class DualGeneratorEngine:
         self.st_range = st_range
         self.lung_range = lung_range
         self.img_size = img_size
-        # inference generators are 1-channel (generate.py:29-30): masks are a
-        # training-time conditioning; released A2B checkpoints take the image
-        # alone.
-        self.generator = Generator(
-            input_channels=1,
-            num_residual_blocks=model_cfg.num_residual_blocks,
-            base_channels=model_cfg.base_channels,
-            use_cbam=True,
-            dtype=compute_dtype,
-        )
-        self.params = _stack_params(st_params, lung_params)
+
+        # Channel counts come from the checkpoints themselves (stem kernel is
+        # (7, 7, in_ch, base)). The reference's released A2B checkpoints are
+        # 1-channel (generate.py:29-30); models trained by THIS framework
+        # default to image + anatomical-mask conditioning channels
+        # (argmanager.py:121-152), which the engine regenerates from the raw
+        # HU at inference time.
+        st_ch = int(np.shape(st_params["stem"]["kernel"])[2])
+        lung_ch = int(np.shape(lung_params["stem"]["kernel"])[2])
+        self.st_channels, self.lung_channels = st_ch, lung_ch
+        self.use_masks = st_ch > 1 or lung_ch > 1
+
+        def build(in_ch):
+            return Generator(
+                input_channels=in_ch,
+                num_residual_blocks=model_cfg.num_residual_blocks,
+                base_channels=model_cfg.base_channels,
+                use_cbam=True,
+                dtype=compute_dtype,
+            )
+
+        if not self.use_masks:
+            # fused path: identical trees -> stack + vmap, one XLA program
+            self.generator = build(1)
+            self.params = _stack_params(st_params, lung_params)
+        else:
+            self.st_generator = build(st_ch)
+            self.lung_generator = build(lung_ch)
+            self.params = {
+                "st": jax.tree_util.tree_map(jnp.asarray, st_params),
+                "lung": jax.tree_util.tree_map(jnp.asarray, lung_params),
+            }
         self._forward = jax.jit(self._forward_impl,
                                 static_argnames=("out_h", "out_w"))
 
@@ -74,20 +95,44 @@ class DualGeneratorEngine:
     def _apply_one(self, params, x):
         return self.generator.apply({"params": params}, x)
 
+    def _resize_in(self, x):
+        """NHWC -> model resolution (antialiased bilinear on image channels;
+        the caller resizes masks with `nearest` before upload)."""
+        if x.shape[1:3] != (self.img_size, self.img_size):
+            x = resize_hw(x.transpose(0, 3, 1, 2), self.img_size,
+                          self.img_size).transpose(0, 2, 3, 1)
+        return x
+
     def _forward_impl(self, params, stored, slope, intercept, *,
-                      out_h: int, out_w: int):
-        """(B, H, W) stored pixels -> dict of outputs, all on device."""
+                      out_h: int, out_w: int, masks=None):
+        """(B, H, W) stored pixels (+ optional (B, s, s, M) mask channels at
+        model resolution) -> dict of outputs, all on device."""
         hu_img = hu.stored_to_hu(stored, slope, intercept)
         st_in = hu.normalize_window(hu_img, self.st_range.hu_min,
                                     self.st_range.hu_max)
         lung_in = hu.normalize_window(hu_img, self.lung_range.hu_min,
                                       self.lung_range.hu_max)
-        x = jnp.stack([st_in, lung_in])[..., None]       # (2, B, H, W, 1)
-        if x.shape[2:4] != (self.img_size, self.img_size):
-            x = resize_hw(x.transpose(0, 1, 4, 2, 3), self.img_size,
-                          self.img_size).transpose(0, 1, 3, 4, 2)
-        y = jax.vmap(self._apply_one)(params, x)         # (2, B, s, s, 1)
-        y = y[..., 0]                                     # (2, B, s, s)
+        if not self.use_masks:
+            x = jnp.stack([st_in, lung_in])[..., None]   # (2, B, H, W, 1)
+            if x.shape[2:4] != (self.img_size, self.img_size):
+                x = resize_hw(x.transpose(0, 1, 4, 2, 3), self.img_size,
+                              self.img_size).transpose(0, 1, 3, 4, 2)
+            y = jax.vmap(self._apply_one)(params, x)     # (2, B, s, s, 1)
+            y_st, y_lung = y[0, ..., 0], y[1, ..., 0]
+        else:
+            st_x = self._resize_in(st_in[..., None])
+            lung_x = self._resize_in(lung_in[..., None])
+            st_masks = masks["st"] if masks else None
+            lung_masks = masks["lung"] if masks else None
+            if self.st_channels > 1:
+                st_x = jnp.concatenate([st_x, st_masks], axis=-1)
+            if self.lung_channels > 1:
+                lung_x = jnp.concatenate([lung_x, lung_masks], axis=-1)
+            y_st = self.st_generator.apply(
+                {"params": params["st"]}, st_x)[..., 0]
+            y_lung = self.lung_generator.apply(
+                {"params": params["lung"]}, lung_x)[..., 0]
+        y = jnp.stack([y_st, y_lung])
         if y.shape[-2:] != (out_h, out_w):
             y = resize_hw(y, out_h, out_w)
         st_hu = hu.denormalize_to_hu(y[0], self.st_range.hu_min,
@@ -100,6 +145,44 @@ class DualGeneratorEngine:
             "raw_hu": hu_img,
         }
 
+    def _host_masks(self, stored: np.ndarray, slope: float,
+                    intercept: float) -> Dict[str, np.ndarray]:
+        """Generate the conditioning mask channels from raw NCCT HU on the
+        host (scipy geometry doesn't XLA-compile; same placement as the
+        reference's DataLoader workers). Returns per-model NHWC masks at
+        model resolution."""
+        from ducosy_tpu.masks import generate_anatomical_masks
+        from ducosy_tpu.data.dataset import _resize_nearest
+
+        hu_vol = np.asarray(stored, np.float32) * slope + intercept
+        needed = set()
+        if self.st_channels > 1:
+            needed.update(self.st_range.mask_types)
+        if self.lung_channels > 1:
+            needed.update(self.lung_range.mask_types)
+        masks = generate_anatomical_masks(hu_vol, sorted(needed)) \
+            if needed else {}
+
+        def pack(mask_types):
+            chans = []
+            for name in mask_types:
+                m = masks.get(name)
+                if m is None:
+                    m = np.zeros(hu_vol.shape, np.uint8)
+                if m.ndim == 2:
+                    m = m[None]
+                m = np.stack([_resize_nearest(s.astype(np.float32),
+                                              self.img_size) for s in m])
+                chans.append(m)
+            return np.stack(chans, axis=-1).astype(np.float32)
+
+        out = {}
+        if self.st_channels > 1:
+            out["st"] = pack(self.st_range.mask_types)
+        if self.lung_channels > 1:
+            out["lung"] = pack(self.lung_range.mask_types)
+        return out
+
     def generate_batch(self, stored: np.ndarray, slope: float,
                        intercept: float,
                        out_size: Tuple[int, int] | None = None
@@ -109,11 +192,16 @@ class DualGeneratorEngine:
         Returns float32 stored-pixel outputs (caller casts to the original
         DICOM dtype, preprocess.py:111) and the raw HU volume for
         synthesis masks."""
-        stored = jnp.asarray(np.ascontiguousarray(stored), jnp.float32)
+        stored_np = np.ascontiguousarray(stored)
+        masks = None
+        if self.use_masks:
+            masks = {k: jnp.asarray(v) for k, v in
+                     self._host_masks(stored_np, slope, intercept).items()}
+        stored = jnp.asarray(stored_np, jnp.float32)
         out_h, out_w = out_size or stored.shape[-2:]
         out = self._forward(self.params, stored,
                             jnp.float32(slope), jnp.float32(intercept),
-                            out_h=out_h, out_w=out_w)
+                            out_h=out_h, out_w=out_w, masks=masks)
         return {k: np.asarray(v) for k, v in out.items()}
 
     # ------------------------------------------------- full-patient pipeline
@@ -124,40 +212,84 @@ class DualGeneratorEngine:
                     sharpen_radius: float = 1.2) -> np.ndarray:
         """Whole patient on device: chunked dual-model generation,
         complementary compositing (generate.py:218-237), z-gaussian +
-        gaussian3d/unsharp volume postprocess (generate.py:254-263). The
-        volume crosses host<->device once each way; intermediate chunks stay
-        in HBM. Returns the final int16 stored-pixel volume."""
-        from ducosy_tpu.infer.postprocess import _postprocess_jit
-        from ducosy_tpu.ops.filters import gaussian_filter_1d
+        gaussian3d/unsharp volume postprocess (generate.py:254-263) — all
+        fused into ONE jitted program (lax.map over slice chunks), so a
+        patient costs exactly one dispatch and one transfer each way.
+        Returns the final int16 stored-pixel volume."""
+        out = self.run_patient_async(
+            stored_volume, slope, intercept, chunk=chunk,
+            pre_z_sigma=pre_z_sigma, sigma_z=sigma_z, sigma_xy=sigma_xy,
+            sharpen_amount=sharpen_amount, sharpen_radius=sharpen_radius)
+        return np.asarray(out)
 
+    def run_patient_async(self, stored_volume: np.ndarray, slope: float,
+                          intercept: float, *, chunk: int = 16,
+                          pre_z_sigma: float = 0.8, sigma_z: float = 0.7,
+                          sigma_xy: float = 0.05, sharpen_amount: float = 1.7,
+                          sharpen_radius: float = 1.2):
+        """Like run_patient but returns the device array without blocking, so
+        callers can pipeline patients (upload N+1 while N computes)."""
         z, h, w = stored_volume.shape
         pad = (-z) % chunk
         stored = np.concatenate(
             [stored_volume, stored_volume[-1:].repeat(pad, axis=0)]
         ) if pad else stored_volume
-        stored = jnp.asarray(stored, jnp.float32)
+        masks = None
+        if self.use_masks:
+            masks = {k: jnp.asarray(v.astype(np.int8)) for k, v in
+                     self._host_masks(stored, slope, intercept).items()}
+        # upload in the narrow integer dtype (half the bytes over the host
+        # link); widened to f32 on device inside the jit
+        device_vol = jnp.asarray(stored)
+        final = self._run_patient_jit(
+            self.params, device_vol, jnp.float32(slope),
+            jnp.float32(intercept), masks, chunk=chunk, n_slices=z,
+            pre_z_sigma=float(pre_z_sigma), sigma_z=float(sigma_z),
+            sigma_xy=float(sigma_xy), sharpen_amount=float(sharpen_amount),
+            sharpen_radius=float(sharpen_radius))
+        return final
 
-        merged_chunks = []
-        for start in range(0, stored.shape[0], chunk):
-            sl = stored[start:start + chunk]
-            out = self._forward(self.params, sl, jnp.float32(slope),
-                                jnp.float32(intercept), out_h=h, out_w=w)
-            merged_chunks.append(self._composite(
-                sl, out["raw_hu"], out["st_stored"], out["lung_stored"]))
-        merged = jnp.concatenate(merged_chunks)[:z]
+    @partial(jax.jit, static_argnums=(0,),
+             static_argnames=("chunk", "n_slices", "pre_z_sigma", "sigma_z",
+                              "sigma_xy", "sharpen_amount", "sharpen_radius"))
+    def _run_patient_jit(self, params, stored, slope, intercept, masks, *,
+                         chunk, n_slices, pre_z_sigma, sigma_z, sigma_xy,
+                         sharpen_amount, sharpen_radius):
+        from ducosy_tpu.infer.postprocess import _postprocess_impl
+        from ducosy_tpu.ops.filters import gaussian_filter_1d
+
+        zp, h, w = stored.shape
+        stored = stored.astype(jnp.float32)
+        n_chunks = zp // chunk
+        chunks = stored.reshape(n_chunks, chunk, h, w)
+        mask_chunks = None
+        if masks is not None:
+            mask_chunks = {
+                k: v.astype(jnp.float32).reshape(
+                    (n_chunks, chunk) + v.shape[1:])
+                for k, v in masks.items()}
+
+        def body(args):
+            sl, mk = args
+            out = self._forward_impl(params, sl, slope, intercept,
+                                     out_h=h, out_w=w, masks=mk)
+            return self._composite(sl, out["raw_hu"], out["st_stored"],
+                                   out["lung_stored"])
+
+        merged = jax.lax.map(body, (chunks, mask_chunks))
+        merged = merged.reshape(zp, h, w)[:n_slices]
         merged = gaussian_filter_1d(merged, pre_z_sigma, axis=0)
         # NOTE: the reference thresholds the high-density preserve mask on
         # STORED pixel values, not HU — synthesis() feeds raw pixel arrays
         # into postprocess_ct_volume's `volume >= 750` check
         # (generate.py:213-263, postprocess.py:50). Reproduced verbatim.
-        final = _postprocess_jit(
+        return _postprocess_impl(
             merged, method="gaussian3d", enhance_sharpness=True,
             hu_threshold=750.0,
             sigma=1.0, sigma_z=sigma_z, sigma_xy=sigma_xy, base_sigma=1.5,
             max_sigma=3.0, kernel_size=3, process_variance=1e-5,
             measurement_variance=1e-2, sharpen_amount=sharpen_amount,
             sharpen_radius=sharpen_radius)
-        return np.asarray(final)
 
     @partial(jax.jit, static_argnums=(0,))
     def _composite(self, raw_stored, raw_hu, st_stored, lung_stored):

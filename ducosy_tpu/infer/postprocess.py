@@ -88,16 +88,10 @@ def _interpolation_resample_host(volume: np.ndarray) -> np.ndarray:
     return out.reshape(volume.shape)
 
 
-# All scalar knobs are static: gaussian kernel *sizes* derive from the sigmas
-# (radius = trunc(4*sigma+0.5)), so they must be Python values at trace time.
-@partial(jax.jit, static_argnames=(
-    "method", "enhance_sharpness", "hu_threshold", "sigma", "sigma_z",
-    "sigma_xy", "base_sigma", "max_sigma", "kernel_size", "process_variance",
-    "measurement_variance", "sharpen_amount", "sharpen_radius"))
-def _postprocess_jit(volume, *, method, enhance_sharpness, hu_threshold,
-                     sigma, sigma_z, sigma_xy, base_sigma, max_sigma,
-                     kernel_size, process_variance, measurement_variance,
-                     sharpen_amount, sharpen_radius):
+def _postprocess_impl(volume, *, method, enhance_sharpness, hu_threshold,
+                      sigma, sigma_z, sigma_xy, base_sigma, max_sigma,
+                      kernel_size, process_variance, measurement_variance,
+                      sharpen_amount, sharpen_radius):
     original = volume.astype(jnp.float32)
     if method == "gaussian":
         out = gaussian_filter_1d(original, sigma, axis=0)
@@ -117,6 +111,15 @@ def _postprocess_jit(volume, *, method, enhance_sharpness, hu_threshold,
                            radius=sharpen_radius)
     out = jnp.where(original >= hu_threshold, original, out)
     return out.astype(jnp.int16)
+
+
+# All scalar knobs are static: gaussian kernel *sizes* derive from the sigmas
+# (radius = trunc(4*sigma+0.5)), so they must be Python values at trace time.
+_postprocess_jit = partial(jax.jit, static_argnames=(
+    "method", "enhance_sharpness", "hu_threshold", "sigma", "sigma_z",
+    "sigma_xy", "base_sigma", "max_sigma", "kernel_size", "process_variance",
+    "measurement_variance", "sharpen_amount", "sharpen_radius"))(
+        _postprocess_impl)
 
 
 def postprocess_ct_volume(volume, method: str = "gaussian3d",

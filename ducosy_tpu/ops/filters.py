@@ -114,21 +114,61 @@ def _conv_along_axis(vol, kernel_1d, axis, pad_mode="symmetric"):
     return jnp.moveaxis(y, -1, axis)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _gaussian_matrix(n: int, sigma: float, truncate: float = 4.0):
+    """Dense (n, n) operator equal to scipy gaussian_filter1d with 'reflect'
+    boundary: column j is the filter response to a unit impulse at j, so
+    M @ x == gaussian_filter1d(x). Folding the kernel AND the boundary
+    reflection into one matrix turns the filter into a single MXU matmul —
+    the TPU-native shape for small separable filters (a 1-channel NCW conv
+    would run on the VPU gather path instead and crawl)."""
+    kern = _gaussian_kernel_1d(sigma, truncate).astype(np.float64)
+    r = len(kern) // 2
+    eye = np.eye(n, dtype=np.float64)
+    # symmetric (scipy 'reflect') padding applied iteratively for r > n
+    pad = eye
+    rem = r
+    while rem > 0:
+        step = min(rem, pad.shape[0])
+        pad = np.pad(pad, ((step, step), (0, 0)), mode="symmetric")
+        rem -= step
+    # valid correlation of each column with the kernel. Cached as NUMPY —
+    # a jnp constant created inside one jit trace must not leak into others.
+    m = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        m[i] = kern @ pad[i:i + len(kern)]
+    return m.astype(np.float32)
+
+
+def _apply_axis_matrix(vol, m, axis):
+    """out[... i ...] = sum_j m[i, j] vol[... j ...] via dot_general."""
+    vol32 = vol.astype(jnp.float32)
+    out = jnp.tensordot(jnp.asarray(m), jnp.moveaxis(vol32, axis, 0),
+                        axes=([1], [0]), precision="highest")
+    return jnp.moveaxis(out, 0, axis).astype(vol.dtype)
+
+
 def gaussian_filter_1d(vol, sigma: float, axis: int = 0,
                        truncate: float = 4.0):
-    """scipy.ndimage.gaussian_filter1d equivalent (reflect boundary)."""
-    kern = jnp.asarray(_gaussian_kernel_1d(sigma, truncate))
-    return _conv_along_axis(vol, kern, axis)
+    """scipy.ndimage.gaussian_filter1d equivalent (reflect boundary), as an
+    MXU matmul with the boundary folded into the operator."""
+    if sigma <= 0:
+        return vol
+    m = _gaussian_matrix(int(vol.shape[axis]), float(sigma), truncate)
+    return _apply_axis_matrix(vol, m, axis)
 
 
 def gaussian_filter_3d(vol, sigmas, truncate: float = 4.0):
     """scipy.ndimage.gaussian_filter equivalent on a (Z,H,W) volume with
-    per-axis sigmas, applied separably (reflect boundary)."""
+    per-axis sigmas, applied separably as three matmuls."""
     out = vol
     for axis, sigma in enumerate(sigmas):
         if sigma and sigma > 0:
-            kern = jnp.asarray(_gaussian_kernel_1d(float(sigma), truncate))
-            out = _conv_along_axis(out, kern, axis)
+            m = _gaussian_matrix(int(vol.shape[axis]), float(sigma), truncate)
+            out = _apply_axis_matrix(out, m, axis)
     return out
 
 
