@@ -41,12 +41,13 @@ def parse_args(argv=None):
                    help="limit the data mesh to the first N devices")
     p.add_argument("--max_epochs", type=int, default=None,
                    help="cap epochs this invocation (resume continues)")
+    p.add_argument("--num_residual_blocks", type=int, default=9)
     return p.parse_args(argv)
 
 
 def main(argv=None):
     args = parse_args(argv)
-    from ducosy_tpu.config import TrainConfig, replace
+    from ducosy_tpu.config import ModelConfig, TrainConfig, replace
     from ducosy_tpu.train.loop import train_cycle_gan
 
     cfg = replace(
@@ -65,8 +66,10 @@ def main(argv=None):
         else [args.target_model]
     for target in targets:
         print(f"=== training {target} CycleGAN ===")
-        out = train_cycle_gan(cfg, target, max_epochs=args.max_epochs,
-                              num_devices=args.num_devices)
+        out = train_cycle_gan(
+            cfg, target,
+            ModelConfig(num_residual_blocks=args.num_residual_blocks),
+            max_epochs=args.max_epochs, num_devices=args.num_devices)
         print(f"=== {target} done: {out} ===")
 
 

@@ -55,16 +55,23 @@ def _soft_squeeze_np(image, hu_min, hu_max, sigma=50.0):
     return 2.0 * out - 1.0
 
 
-def _hu_transform_np(ds, hu_min, hu_max, use_soft_squeezing):
-    img = ds.pixel_array.astype(np.float32)
-    img = img * float(ds.RescaleSlope) + float(ds.RescaleIntercept)
-    raw_hu = img
-    img = np.clip(img, hu_min, hu_max)
+def _load_hu(path: str) -> np.ndarray:
+    """DICOM path -> raw HU array, through the native C parser when built
+    (zero-copy pixel view; falls back to the Python codec)."""
+    from ducosy_tpu.dicom.native import read_slice_any
+
+    info = read_slice_any(path)
+    return (info.pixels.astype(np.float32) * info.rescale_slope
+            + info.rescale_intercept)
+
+
+def _hu_transform_np(raw_hu, hu_min, hu_max, use_soft_squeezing):
+    img = np.clip(raw_hu, hu_min, hu_max)
     if use_soft_squeezing:
         img = _soft_squeeze_np(img, hu_min, hu_max)
     else:
         img = 2.0 * (img - hu_min) / (hu_max - hu_min) - 1.0
-    return img.astype(np.float32), raw_hu
+    return img.astype(np.float32)
 
 
 class SlicePairDataset:
@@ -94,12 +101,11 @@ class SlicePairDataset:
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:
         ncct_path, cect_path, mask_paths = self.pairs[index]
         cfg = self.range_cfg
-        ncct_ds = dcmread(ncct_path)
-        cect_ds = dcmread(cect_path)
-        a, raw_hu = _hu_transform_np(ncct_ds, cfg.hu_min, cfg.hu_max,
-                                     cfg.use_soft_squeezing)
-        b, _ = _hu_transform_np(cect_ds, cfg.hu_min, cfg.hu_max,
-                                cfg.use_soft_squeezing)
+        raw_hu = _load_hu(ncct_path)
+        a = _hu_transform_np(raw_hu, cfg.hu_min, cfg.hu_max,
+                             cfg.use_soft_squeezing)
+        b = _hu_transform_np(_load_hu(cect_path), cfg.hu_min, cfg.hu_max,
+                             cfg.use_soft_squeezing)
         a = _resize_bilinear_aa(a, self.img_size)[..., None]
         b = _resize_bilinear_aa(b, self.img_size)[..., None]
         out = {"a": a.astype(np.float32), "b": b.astype(np.float32)}

@@ -38,20 +38,22 @@ def train_val_split(patient_dirs: Sequence[str], val_split: float,
 
 def sort_dicom_files(files: List[str]) -> List[str]:
     """InstanceNumber -> SliceLocation -> filename sort order
-    (modules/dataset.py:82-90)."""
+    (modules/dataset.py:82-90). Header parsing uses the native C parser when
+    built (one pass, no pixel decode)."""
     files = sorted(files)
     if not files:
         return files
+    from ducosy_tpu.dicom.native import read_slice_any
+
     try:
-        return sorted(files, key=lambda p: int(
-            dcmread(p, stop_before_pixels=True).InstanceNumber))
-    except (AttributeError, KeyError, ValueError, TypeError):
-        pass
-    try:
-        return sorted(files, key=lambda p: float(
-            dcmread(p, stop_before_pixels=True).SliceLocation))
-    except (AttributeError, KeyError, ValueError, TypeError):
+        infos = [(read_slice_any(p, pixels=False), p) for p in files]
+    except (ValueError, NotImplementedError, EOFError):
         return files
+    if all(i.instance_number for i, _ in infos):
+        return [p for _, p in sorted(infos, key=lambda t: t[0].instance_number)]
+    if any(i.slice_location for i, _ in infos):
+        return [p for _, p in sorted(infos, key=lambda t: t[0].slice_location)]
+    return files
 
 
 def pair_patient_slices(patient_dir: str, ncct_folder: str,

@@ -1,0 +1,125 @@
+"""ctypes bindings to the native DICOM parser (native/dicom_codec.cc).
+
+`read_slice(path)` parses one CT slice: a single C pass over the mmapped
+bytes extracts geometry/rescale/order tags and the pixel-data extent, and the
+pixel array is a zero-copy numpy view over the file buffer. Falls back to the
+pure-Python codec when the shared library hasn't been built (run
+`make -C native`).
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "_dicom_native.so")
+
+
+class _SliceMeta(ctypes.Structure):
+    _fields_ = [
+        ("rows", ctypes.c_int32),
+        ("cols", ctypes.c_int32),
+        ("bits_allocated", ctypes.c_int32),
+        ("pixel_representation", ctypes.c_int32),
+        ("instance_number", ctypes.c_int32),
+        ("has_pixels", ctypes.c_int32),
+        ("rescale_slope", ctypes.c_double),
+        ("rescale_intercept", ctypes.c_double),
+        ("slice_location", ctypes.c_double),
+        ("ipp_z", ctypes.c_double),
+        ("pixel_offset", ctypes.c_uint64),
+        ("pixel_length", ctypes.c_uint64),
+    ]
+
+
+_lib = None
+
+
+def available() -> bool:
+    global _lib
+    if _lib is not None:
+        return True
+    if not os.path.exists(_LIB_PATH):
+        return False
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.parse_slice.restype = ctypes.c_int
+        lib.parse_slice.argtypes = [ctypes.c_char_p, ctypes.c_uint64,
+                                    ctypes.POINTER(_SliceMeta)]
+        _lib = lib
+        return True
+    except OSError:  # pragma: no cover
+        return False
+
+
+class SliceInfo:
+    __slots__ = ("pixels", "rows", "cols", "rescale_slope",
+                 "rescale_intercept", "instance_number", "slice_location",
+                 "ipp_z", "pixel_representation")
+
+    def __init__(self, meta: _SliceMeta, pixels: Optional[np.ndarray]):
+        self.pixels = pixels
+        self.rows = meta.rows
+        self.cols = meta.cols
+        self.rescale_slope = meta.rescale_slope
+        self.rescale_intercept = meta.rescale_intercept
+        self.instance_number = meta.instance_number
+        self.slice_location = meta.slice_location
+        self.ipp_z = meta.ipp_z
+        self.pixel_representation = meta.pixel_representation
+
+
+def read_slice(path: str, *, pixels: bool = True) -> SliceInfo:
+    """Parse one slice natively. Raises ValueError on malformed input and
+    NotImplementedError on compressed transfer syntaxes (codec parity)."""
+    if not available():
+        raise RuntimeError(
+            "native DICOM parser not built; run `make -C native`")
+    data = np.fromfile(path, dtype=np.uint8)
+    meta = _SliceMeta()
+    status = _lib.parse_slice(
+        data.ctypes.data_as(ctypes.c_char_p), data.size,
+        ctypes.byref(meta))
+    if status == 2:
+        raise NotImplementedError(f"unsupported transfer syntax in {path}")
+    if status != 0:
+        raise ValueError(f"malformed DICOM stream: {path}")
+    if pixels and not meta.has_pixels:
+        raise ValueError(f"no PixelData in {path}")
+    arr = None
+    if pixels and meta.has_pixels:
+        bits = meta.bits_allocated
+        signed = meta.pixel_representation == 1
+        dtype = {8: (np.int8 if signed else np.uint8),
+                 16: (np.int16 if signed else np.uint16)}.get(bits)
+        if dtype is None:
+            raise ValueError(f"unsupported BitsAllocated={bits}")
+        count = meta.rows * meta.cols
+        start = int(meta.pixel_offset)
+        arr = data[start:start + count * np.dtype(dtype).itemsize] \
+            .view(dtype)[:count].reshape(meta.rows, meta.cols)
+    return SliceInfo(meta, arr)
+
+
+def read_slice_any(path: str, *, pixels: bool = True):
+    """Native fast path with pure-Python fallback; returns an object with
+    SliceInfo's fields either way."""
+    if available():
+        return read_slice(path, pixels=pixels)
+    from ducosy_tpu.dicom.codec import dcmread
+
+    ds = dcmread(path, stop_before_pixels=not pixels)
+    info = _SliceMeta()
+    info.rows = int(ds.get("Rows", 0) or 0)
+    info.cols = int(ds.get("Columns", 0) or 0)
+    info.rescale_slope = float(ds.get("RescaleSlope", 1.0) or 1.0)
+    info.rescale_intercept = float(ds.get("RescaleIntercept", 0.0) or 0.0)
+    info.instance_number = int(ds.get("InstanceNumber", 0) or 0)
+    info.slice_location = float(ds.get("SliceLocation", 0.0) or 0.0)
+    ipp = ds.get("ImagePositionPatient", [0.0, 0.0, 0.0])
+    info.ipp_z = float(ipp[2]) if isinstance(ipp, list) and len(ipp) >= 3 \
+        else 0.0
+    info.pixel_representation = int(ds.get("PixelRepresentation", 0) or 0)
+    return SliceInfo(info, ds.pixel_array if pixels else None)

@@ -29,9 +29,10 @@ def lsgan_fake(logits):
 
 def gradient_loss(pred, target):
     """L1 between finite-difference gradients of pred vs target, summed over
-    both axes (GradientLoss, modules/trainer.py:29-40)."""
-    dy_p = jnp.abs(pred[:, 1:, :, :] - pred[:, :-1, :, :])
-    dy_t = jnp.abs(target[:, 1:, :, :] - target[:, :-1, :, :])
-    dx_p = jnp.abs(pred[:, :, 1:, :] - pred[:, :, :-1, :])
-    dx_t = jnp.abs(target[:, :, 1:, :] - target[:, :, :-1, :])
+    both spatial axes (GradientLoss, modules/trainer.py:29-40). Axes 1 and 2
+    are H and W for both NHW and NHWC inputs."""
+    dy_p = jnp.abs(jnp.diff(pred, axis=1))
+    dy_t = jnp.abs(jnp.diff(target, axis=1))
+    dx_p = jnp.abs(jnp.diff(pred, axis=2))
+    dx_t = jnp.abs(jnp.diff(target, axis=2))
     return jnp.mean(jnp.abs(dx_p - dx_t)) + jnp.mean(jnp.abs(dy_p - dy_t))

@@ -29,19 +29,26 @@ def _gaussian_window(size: int, sigma: float) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _filter_valid(x, win):
-    """Separable VALID gaussian filtering of NHWC over H then W."""
-    c = x.shape[-1]
-    kh = jnp.asarray(win).reshape(-1, 1, 1, 1)
-    kh = jnp.broadcast_to(kh, (win.shape[0], 1, 1, c)).astype(x.dtype)
-    x = lax.conv_general_dilated(
-        x, kh, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c, precision="highest")
-    kw = jnp.asarray(win).reshape(1, -1, 1, 1)
-    kw = jnp.broadcast_to(kw, (1, win.shape[0], 1, c)).astype(x.dtype)
-    return lax.conv_general_dilated(
-        x, kw, (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c, precision="highest")
+def _to_nhw(x):
+    """Fold any channel dim into the batch: (N,H,W,C) -> (N*C, H, W)."""
+    if x.ndim == 3:
+        return x, x.shape[0:1]
+    n, h, w, c = x.shape
+    return jnp.moveaxis(x, -1, 1).reshape(n * c, h, w), (n, c)
+
+
+def _filter_valid(x_nhw, win):
+    """Separable VALID gaussian filtering over H then W of (N, H, W).
+
+    Implemented as banded Toeplitz matmuls — 1-channel NHWC depthwise convs
+    force a 128x-padded lane layout on TPU (see ops/filters.py); matmuls keep
+    W on the lane axis and use the MXU."""
+    from ducosy_tpu.ops.filters import _toeplitz_valid, apply_h, apply_w
+
+    h, w = x_nhw.shape[1], x_nhw.shape[2]
+    kern = tuple(np.asarray(win, np.float64))
+    return apply_w(apply_h(x_nhw, _toeplitz_valid(h, kern)),
+                   _toeplitz_valid(w, kern))
 
 
 def _ssim_maps(x, y, win, data_range):
@@ -60,9 +67,12 @@ def _ssim_maps(x, y, win, data_range):
 
 def ssim(x, y, *, data_range: float = 1.0, win_size: int = 11,
          win_sigma: float = 1.5):
-    """Mean SSIM of NHWC tensors (pytorch_msssim-compatible scalar)."""
+    """Mean SSIM of NHWC or NHW tensors (pytorch_msssim-compatible scalar).
+    Channel dims fold into the batch — no 1-channel NHWC tensors on TPU."""
     win = _gaussian_window(win_size, win_sigma)
-    ssim_map, _ = _ssim_maps(x.astype(jnp.float32), y.astype(jnp.float32),
+    x3, _ = _to_nhw(x)
+    y3, _ = _to_nhw(y)
+    ssim_map, _ = _ssim_maps(x3.astype(jnp.float32), y3.astype(jnp.float32),
                              win, data_range)
     return jnp.mean(ssim_map)
 
@@ -73,11 +83,11 @@ def ssim_loss(x, y, **kw):
 
 
 def _avg_pool_2x(x):
-    """2x2 stride-2 average pooling with implicit floor-crop (matches
+    """2x2 stride-2 average pooling of (N, H, W) with floor-crop (matches
     F.avg_pool2d with padding computed from odd shapes in pytorch_msssim)."""
-    n, h, w, c = x.shape
-    x = x[:, : h - h % 2, : w - w % 2, :]
-    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    n, h, w = x.shape
+    x = x[:, : h - h % 2, : w - w % 2]
+    x = x.reshape(n, h // 2, 2, w // 2, 2)
     return x.mean(axis=(2, 4))
 
 
@@ -86,6 +96,8 @@ def ms_ssim(x, y, *, data_range: float = 1.0, win_size: int = 11,
     """Multi-scale SSIM (torchmetrics/pytorch_msssim defaults; evaluation
     metric at calculate.py:274-291). Requires spatial dims > (win_size-1)*2^4."""
     win = _gaussian_window(win_size, win_sigma)
+    x, _ = _to_nhw(x)
+    y, _ = _to_nhw(y)
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     levels = len(weights)

@@ -34,6 +34,13 @@ class LossTerms(NamedTuple):
     contrast_edge: jnp.ndarray
 
 
+def _squeeze(x):
+    """NHW1 -> NHW. Single-channel NHWC tensors force a 128x-padded lane
+    layout on TPU (the channel dim lands on the lane axis); every loss here
+    therefore computes on squeezed (N, H, W)."""
+    return x[..., 0] if x.ndim == 4 and x.shape[-1] == 1 else x
+
+
 def generator_loss(
     *,
     real_a, real_b,            # NHWC image channels only (no masks)
@@ -44,6 +51,10 @@ def generator_loss(
     cfg: TrainConfig,
     loss_cfg: LossConfig = LossConfig(),
 ) -> LossTerms:
+    real_a, real_b = _squeeze(real_a), _squeeze(real_b)
+    fake_a, fake_b = _squeeze(fake_a), _squeeze(fake_b)
+    rec_a, rec_b = _squeeze(rec_a), _squeeze(rec_b)
+    id_a, id_b = _squeeze(id_a), _squeeze(id_b)
     loss_id = (basic.l1(id_a, real_a) + basic.l1(id_b, real_b)) / 2
     loss_gan = (basic.lsgan_real(d_b_fake_logits)
                 + basic.lsgan_real(d_a_fake_logits)) / 2
@@ -97,6 +108,9 @@ def validation_generator_loss(*, real_a, real_b, fake_a, fake_b, rec_a, rec_b,
                               cfg: TrainConfig):
     """Validation objective: GAN + lambda_cyc*cycle + lambda_id*identity only
     (validate_and_save_images, trainer.py:243-247)."""
+    real_a, real_b = _squeeze(real_a), _squeeze(real_b)
+    rec_a, rec_b = _squeeze(rec_a), _squeeze(rec_b)
+    id_a, id_b = _squeeze(id_a), _squeeze(id_b)
     loss_id = (basic.l1(id_a, real_a) + basic.l1(id_b, real_b)) / 2
     loss_gan = (basic.lsgan_real(d_b_fake_logits)
                 + basic.lsgan_real(d_a_fake_logits)) / 2

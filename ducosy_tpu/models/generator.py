@@ -28,6 +28,17 @@ from ducosy_tpu.models.layers import (
 )
 
 
+def _norm(x, *, relu: bool, fused: bool):
+    """InstanceNorm optionally fused with the following ReLU. fused=True
+    routes through the Pallas TPU kernel (ops/pallas) with an analytic VJP;
+    the default XLA path keeps fp32 statistics (models/layers.py)."""
+    if fused:
+        from ducosy_tpu.ops.pallas.instance_norm import instance_norm_fused
+        return instance_norm_fused(x, relu)
+    y = instance_norm(x)
+    return nn.relu(y) if relu else y
+
+
 class ChannelAttention(nn.Module):
     """CBAM channel gate (modules/model.py:6-24): shared bottleneck MLP over
     global average- and max-pooled descriptors, sigmoid, channel scale."""
@@ -80,17 +91,18 @@ class ResidualBlock(nn.Module):
     channels: int
     use_cbam: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = reflect_pad(x, 1)
         h = conv(self.channels, 3, padding="VALID", name="conv1",
                  dtype=self.dtype)(h)
-        h = nn.relu(instance_norm(h))
+        h = _norm(h, relu=True, fused=self.fused_norm)
         h = reflect_pad(h, 1)
         h = conv(self.channels, 3, padding="VALID", name="conv2",
                  dtype=self.dtype)(h)
-        h = instance_norm(h)
+        h = _norm(h, relu=False, fused=self.fused_norm)
         if self.use_cbam:
             h = ChannelAttention(self.channels, name="ca", dtype=self.dtype)(h)
             h = SpatialAttention(name="sa", dtype=self.dtype)(h)
@@ -108,6 +120,11 @@ class Generator(nn.Module):
     base_channels: int = 64
     use_cbam: bool = True
     dtype: jnp.dtype = jnp.float32
+    # Route InstanceNorm through the fused Pallas TPU kernel (inference and
+    # training; analytic VJP). The trunk blocks benefit most (22 IN layers);
+    # encoder/decoder norms at 512^2 spatial exceed the VMEM block budget and
+    # stay on the XLA path.
+    fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -127,7 +144,8 @@ class Generator(nn.Module):
 
         for i in range(self.num_residual_blocks):
             h = ResidualBlock(ch * 4, use_cbam=self.use_cbam,
-                              name=f"block{i}", dtype=self.dtype)(h)
+                              name=f"block{i}", dtype=self.dtype,
+                              fused_norm=self.fused_norm)(h)
 
         h = upsample_nearest_2x(h)
         h = conv(ch * 2, 3, padding=((1, 1), (1, 1)), name="up1",

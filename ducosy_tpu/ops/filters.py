@@ -20,42 +20,93 @@ import numpy as np
 from jax import lax
 
 
-def _depthwise_conv_nhwc(x, kernel_hw, pad_h, pad_w, stride=1,
-                         pad_mode="constant"):
-    """Depthwise 2-D conv of NHWC x with a single 2-D kernel shared across
-    channels. Padding applied explicitly so reflect/replicate modes work."""
-    n, h, w, c = x.shape
-    kh, kw = kernel_hw.shape
-    if pad_h or pad_w:
-        x = jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)),
-                    mode=pad_mode)
-    kernel = jnp.broadcast_to(kernel_hw[:, :, None, None], (kh, kw, 1, c))
-    return lax.conv_general_dilated(
-        x, kernel.astype(x.dtype),
-        window_strides=(stride, stride),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-        precision="highest",
-    )
+# ---------------------------------------------------------------------------
+# TPU-native small-filter machinery.
+#
+# The loss suite filters 1-channel images. Lowering those as NHWC depthwise
+# convs is pathological on TPU: XLA tiles the size-1 channel dim onto the
+# 128-wide lane axis, padding every (N, 512, 512, 1) fp32 tensor 128x (8 MB
+# -> 1 GB — observed in the 512^2 train-step HBM OOM). Instead every small
+# separable filter is expressed as a banded Toeplitz MATMUL applied along H
+# and W of SQUEEZED (N, H, W) tensors: W rides the lane dimension at full
+# width and the filter runs on the MXU.
+# ---------------------------------------------------------------------------
+from functools import lru_cache
+
+
+@lru_cache(maxsize=128)
+def _toeplitz_zero(n: int, kernel: tuple, stride: int = 1) -> np.ndarray:
+    """(n_out, n) correlation operator with ZERO boundary padding of k//2
+    (torch conv2d / AvgPool2d count_include_pad semantics)."""
+    kern = np.asarray(kernel, np.float64)
+    r = len(kern) // 2
+    n_out = n // stride if stride > 1 else n
+    m = np.zeros((n_out, n), np.float64)
+    for i in range(n_out):
+        base = i * stride
+        for t, kv in enumerate(kern):
+            j = base - r + t
+            if 0 <= j < n:
+                m[i, j] += kv
+    return m.astype(np.float32)
+
+
+@lru_cache(maxsize=128)
+def _toeplitz_valid(n: int, kernel: tuple) -> np.ndarray:
+    """(n - k + 1, n) VALID correlation operator (pytorch_msssim SSIM)."""
+    kern = np.asarray(kernel, np.float64)
+    k = len(kern)
+    m = np.zeros((n - k + 1, n), np.float64)
+    for i in range(n - k + 1):
+        m[i, i:i + k] = kern
+    return m.astype(np.float32)
+
+
+def apply_h(x_nhw, m) -> jnp.ndarray:
+    """out[n, i, w] = sum_j m[i, j] x[n, j, w]."""
+    return jnp.einsum("ij,njw->niw", jnp.asarray(m), x_nhw,
+                      precision="highest")
+
+
+def apply_w(x_nhw, m) -> jnp.ndarray:
+    """out[n, h, i] = sum_j m[i, j] x[n, h, j]."""
+    return jnp.einsum("ij,nhj->nhi", jnp.asarray(m), x_nhw,
+                      precision="highest")
+
+
+def _squeeze_c(x):
+    """NHWC with C==1 -> (N, H, W) + a restore fn; NHW passes through."""
+    if x.ndim == 4:
+        assert x.shape[-1] == 1, "loss filters expect single-channel input"
+        return x[..., 0], lambda y: y[..., None]
+    return x, lambda y: y
 
 
 def box_blur(x, kernel_size: int):
-    """AvgPool2d(kernel_size, stride=1, padding=k//2) on NHWC.
-
-    Matches torch's count-include-pad average pooling (the default), which is
-    what ContrastAttentionLoss's blur uses (modules/trainer.py:60)."""
+    """AvgPool2d(kernel_size, stride=1, padding=k//2), count-include-pad —
+    ContrastAttentionLoss's blur (modules/trainer.py:60). Accepts NHWC (C=1)
+    or NHW."""
     k = kernel_size
-    kern = jnp.full((k, k), 1.0 / (k * k), dtype=jnp.float32)
-    return _depthwise_conv_nhwc(x, kern, k // 2, k // 2)
+    x3, restore = _squeeze_c(x)
+    kern = tuple(np.full(k, 1.0 / k))
+    mh = _toeplitz_zero(x3.shape[1], kern)
+    mw = _toeplitz_zero(x3.shape[2], kern)
+    return restore(apply_w(apply_h(x3.astype(jnp.float32), mh), mw))
 
 
 def avg_pool(x, kernel_size: int):
-    """AvgPool2d(kernel_size, stride=kernel_size) on NHWC
+    """AvgPool2d(kernel_size, stride=kernel_size)
     (ContrastRegionLoss, modules/trainer.py:102)."""
     k = kernel_size
-    kern = jnp.full((k, k), 1.0 / (k * k), dtype=jnp.float32)
-    return _depthwise_conv_nhwc(x, kern, 0, 0, stride=k)
+    x3, restore = _squeeze_c(x)
+    n, h, w = x3.shape
+    mh = np.zeros((h // k, h), np.float32)
+    for i in range(h // k):
+        mh[i, i * k:(i + 1) * k] = 1.0 / k
+    mw = np.zeros((w // k, w), np.float32)
+    for i in range(w // k):
+        mw[i, i * k:(i + 1) * k] = 1.0 / k
+    return restore(apply_w(apply_h(x3.astype(jnp.float32), mh), mw))
 
 
 SOBEL_X = np.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], dtype=np.float32)
@@ -63,11 +114,19 @@ SOBEL_Y = np.array([[-1, -2, -1], [0, 0, 0], [1, 2, 1]], dtype=np.float32)
 
 
 def sobel_edges(x, eps: float = 1e-6):
-    """Sobel edge magnitude sqrt(gx^2 + gy^2 + eps) on NHWC with zero pad 1
-    (ContrastEdgeLoss.get_edges, modules/trainer.py:150-155)."""
-    gx = _depthwise_conv_nhwc(x, jnp.asarray(SOBEL_X), 1, 1)
-    gy = _depthwise_conv_nhwc(x, jnp.asarray(SOBEL_Y), 1, 1)
-    return jnp.sqrt(gx * gx + gy * gy + eps)
+    """Sobel edge magnitude sqrt(gx^2 + gy^2 + eps) with zero pad 1
+    (ContrastEdgeLoss.get_edges, modules/trainer.py:150-155), as separable
+    banded matmuls: gx = smooth_H x diff_W, gy = diff_H x smooth_W."""
+    x3, restore = _squeeze_c(x)
+    x3 = x3.astype(jnp.float32)
+    h, w = x3.shape[1], x3.shape[2]
+    smooth = (1.0, 2.0, 1.0)
+    diff = (-1.0, 0.0, 1.0)
+    gx = apply_w(apply_h(x3, _toeplitz_zero(h, smooth)),
+                 _toeplitz_zero(w, diff))
+    gy = apply_w(apply_h(x3, _toeplitz_zero(h, diff)),
+                 _toeplitz_zero(w, smooth))
+    return restore(jnp.sqrt(gx * gx + gy * gy + eps))
 
 
 def _gaussian_kernel_1d(sigma: float, truncate: float = 4.0) -> np.ndarray:

@@ -1,0 +1,137 @@
+"""Fused InstanceNorm(+ReLU) Pallas TPU kernel.
+
+The generator runs 22 InstanceNorm layers per forward (SURVEY.md §7 "hard
+parts"); unfused XLA lowers each to a reduce pass plus a normalize pass —
+three HBM traversals of the activation. This kernel keeps one (H, W, Cb)
+block resident in VMEM, computes the fp32 statistics and the normalized
+(optionally ReLU'd) output in a single pass: two HBM traversals, one kernel.
+
+Grid: (N, C // block_c); each program owns one sample's channel block with
+the full spatial extent (the reduction domain), so no cross-program
+communication is needed. C is padded to the 128-lane boundary by the caller
+via block_c selection; H*W*block_c*2B must fit VMEM (default 128x128x256
+bf16 = 8 MB with input+output < 16 MB VMEM).
+
+Matches models/layers.instance_norm (torch nn.InstanceNorm2d semantics:
+biased variance, eps 1e-5, no affine) to fp32 rounding.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5
+
+
+def pallas_available() -> bool:
+    """Pallas TPU kernels need a real TPU backend (interpret mode works
+    anywhere but is for testing)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _kernel(x_ref, o_ref, *, relu: bool, eps: float):
+    x = x_ref[...]                               # (1, H, W, Cb), io dtype
+    count = x.shape[0] * x.shape[1] * x.shape[2]
+    # fp32 ACCUMULATION without materializing an fp32 copy of the block
+    # (a full f32 cast of a 4 MB bf16 block doubles VMEM pressure and OOMs)
+    s = jnp.sum(x, axis=(0, 1, 2), keepdims=True, dtype=jnp.float32)
+    sq = jnp.sum(jnp.square(x), axis=(0, 1, 2), keepdims=True,
+                 dtype=jnp.float32)
+    mean = s / count
+    var = jnp.maximum(sq / count - mean * mean, 0.0)
+    scale = jax.lax.rsqrt(var + eps)
+    y = (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
+    if relu:
+        y = jnp.maximum(y, jnp.zeros((), x.dtype))
+    o_ref[...] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relu", "eps", "block_c", "interpret"))
+def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
+                         eps: float = EPS, block_c: int = 128,
+                         interpret: bool = False) -> jax.Array:
+    """InstanceNorm over H, W of an NHWC tensor, optionally fused with ReLU.
+
+    Falls back to requiring C % block_c == 0 or C <= block_c (then one block
+    covers all channels)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = x.shape
+    bc = min(block_c, c)
+    if c % bc != 0:
+        bc = c  # degenerate channel counts: one block over all channels
+
+    grid = (n, c // bc)
+    return pl.pallas_call(
+        functools.partial(_kernel, relu=relu, eps=eps),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, h, w, bc),
+                               lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.ANY
+                               if interpret else pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, h, w, bc),
+                               lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.ANY
+                               if interpret else pltpu.VMEM),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x)
+
+
+# ---------------------------------------------------------------- training
+# custom_vjp wrapper: Pallas forward, analytic XLA backward. The backward of
+# parameter-free IN is the layernorm-style expression
+#   dx = (g - mean(g) - y * mean(g*y)) / sqrt(var + eps)
+# with the ReLU mask applied to g first when fused.
+import jax.numpy as _jnp
+
+
+def _xla_forward(x, relu, eps):
+    x32 = x.astype(_jnp.float32)
+    mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    if relu:
+        y = _jnp.maximum(y, 0.0)
+    return y.astype(x.dtype), var
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def instance_norm_fused(x, relu: bool = False, eps: float = EPS):
+    """InstanceNorm(+ReLU) — Pallas kernel on TPU, XLA elsewhere; supports
+    reverse-mode AD via an analytic backward pass."""
+    if pallas_available():
+        return instance_norm_pallas(x, relu=relu, eps=eps)
+    return _xla_forward(x, relu, eps)[0]
+
+
+def _fwd(x, relu, eps):
+    y = instance_norm_fused(x, relu, eps)
+    return y, x  # save the input; backward recomputes exact fp32 stats
+
+
+def _bwd(relu, eps, x, g):
+    x32 = x.astype(_jnp.float32)
+    mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y_pre = (x32 - mean) * inv            # pre-ReLU normalized value
+    g32 = g.astype(_jnp.float32)
+    if relu:
+        g32 = g32 * (y_pre > 0)           # ReLU mask on the output grad
+    mg = _jnp.mean(g32, axis=(1, 2), keepdims=True)
+    mgy = _jnp.mean(g32 * y_pre, axis=(1, 2), keepdims=True)
+    dx = (g32 - mg - y_pre * mgy) * inv
+    return (dx.astype(g.dtype),)
+
+
+instance_norm_fused.defvjp(_fwd, _bwd)

@@ -54,3 +54,22 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     sharding = replicated(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), tree)
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host initialization (jax.distributed) for pod-slice training:
+    gradients all-reduce over ICI within a slice and DCN across hosts once
+    every host has called this. On single-host TPU VMs (or when the args are
+    omitted and no cluster env is detected) this is a no-op."""
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id)
+    except (ValueError, RuntimeError):
+        # single-process environment — nothing to coordinate
+        pass

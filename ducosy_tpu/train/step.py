@@ -60,10 +60,17 @@ def _forward_all(gen_apply, params_a2b, params_b2a, batch: Batch):
 
 def make_train_step(gen, disc, cfg: TrainConfig,
                     loss_cfg: LossConfig = LossConfig(), *,
-                    donate: bool = True):
-    """Build the jitted (state, batch) -> (state, metrics) step."""
+                    donate: bool = True, remat: bool = True):
+    """Build the jitted (state, batch) -> (state, metrics) step.
+
+    remat wraps each generator forward in jax.checkpoint so the G step's six
+    512^2 forwards keep only their boundary activations live and recompute
+    internals in the backward pass — without it the step needs ~18 GB of
+    activation HBM at batch 8 and OOMs a 16 GB chip."""
     tx = make_optimizer(cfg)
     gen_apply = lambda p, x: gen.apply({"params": p}, x)
+    if remat:
+        gen_apply = jax.checkpoint(gen_apply)
     disc_apply = lambda p, x: disc.apply({"params": p}, x)
 
     def g_loss_fn(g_params, state: CycleGANState, batch: Batch):
