@@ -50,6 +50,9 @@ def parse_args(argv=None):
                         "v3 enhancement-delta test path")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="shard each slice chunk over the first N devices "
+                        "(default: single device)")
     return p.parse_args(argv)
 
 
@@ -68,9 +71,14 @@ def load_engine(args):
             generator_params_from_torch, load_torch_state_dict)
         return generator_params_from_torch(load_torch_state_dict(path))
 
+    mesh = None
+    if args.num_devices and args.num_devices > 1:
+        from ducosy_tpu.parallel import data_mesh
+        mesh = data_mesh(args.num_devices)
     return DualGeneratorEngine(load(args.soft_tissue_model),
                                load(args.lung_model),
-                               img_size=args.img_size, compute_dtype=dtype)
+                               img_size=args.img_size, compute_dtype=dtype,
+                               mesh=mesh)
 
 
 def _read_series(folder):

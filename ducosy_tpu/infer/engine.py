@@ -45,7 +45,14 @@ class DualGeneratorEngine:
                  *, st_range: RangeConfig = SOFT_TISSUE,
                  lung_range: RangeConfig = LUNG,
                  model_cfg: ModelConfig = ModelConfig(),
-                 img_size: int = 512, compute_dtype=jnp.bfloat16):
+                 img_size: int = 512, compute_dtype=jnp.bfloat16,
+                 fused_norm: bool | None = None, mesh=None):
+        if fused_norm is None:  # default: Pallas IN kernel on real TPU
+            from ducosy_tpu.ops.pallas import pallas_available
+            fused_norm = pallas_available()
+        # optional 1-D data mesh: shards each chunk's slice batch across
+        # devices inside the fused patient program
+        self.mesh = mesh
         self.st_range = st_range
         self.lung_range = lung_range
         self.img_size = img_size
@@ -68,6 +75,7 @@ class DualGeneratorEngine:
                 base_channels=model_cfg.base_channels,
                 use_cbam=True,
                 dtype=compute_dtype,
+                fused_norm=fused_norm,
             )
 
         if not self.use_masks:
@@ -228,8 +236,18 @@ class DualGeneratorEngine:
                           sigma_xy: float = 0.05, sharpen_amount: float = 1.7,
                           sharpen_radius: float = 1.2):
         """Like run_patient but returns the device array without blocking, so
-        callers can pipeline patients (upload N+1 while N computes)."""
+        callers can pipeline patients (upload N+1 while N computes).
+
+        When the engine was built with a mesh (see __init__), the slice batch
+        inside each chunk is sharded across devices: each of the N chips runs
+        chunk/N slices of every generator forward and XLA gathers the volume
+        for the z-coupled postprocess — the multi-chip serving path
+        (BASELINE.md's v5e-8 target). chunk must divide by the mesh size."""
         z, h, w = stored_volume.shape
+        if self.mesh is not None and chunk % int(self.mesh.devices.size):
+            raise ValueError(
+                f"chunk={chunk} not divisible by mesh size "
+                f"{int(self.mesh.devices.size)}")
         pad = (-z) % chunk
         stored = np.concatenate(
             [stored_volume, stored_volume[-1:].repeat(pad, axis=0)]
@@ -268,6 +286,19 @@ class DualGeneratorEngine:
                 k: v.astype(jnp.float32).reshape(
                     (n_chunks, chunk) + v.shape[1:])
                 for k, v in masks.items()}
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ducosy_tpu.parallel.mesh import DATA_AXIS
+
+            def constrain(x):
+                spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(self.mesh, spec))
+
+            chunks = constrain(chunks)
+            if mask_chunks is not None:
+                mask_chunks = {k: constrain(v)
+                               for k, v in mask_chunks.items()}
 
         def body(args):
             sl, mk = args

@@ -165,3 +165,81 @@ def test_synthesize_volume_pipeline(rng):
     out = synthesis.synthesize_volume(vol, InferConfig())
     assert out.shape == vol.shape
     assert out.dtype == np.int16
+
+
+def test_dual_engine_masked_models(rng):
+    """Generators trained with mask conditioning (the framework's own
+    training defaults) must run through the engine, which regenerates the
+    anatomical mask channels from raw HU at inference time."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import chest_hu
+
+    mcfg = ModelConfig(num_residual_blocks=1)
+    g3 = Generator(input_channels=3, num_residual_blocks=1)
+    g2 = Generator(input_channels=2, num_residual_blocks=1)
+    p_st = g3.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    p_lu = g2.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 2)))["params"]
+    eng = DualGeneratorEngine(p_st, p_lu, model_cfg=mcfg, img_size=128,
+                              compute_dtype=jnp.float32)
+    assert eng.use_masks and eng.st_channels == 3 and eng.lung_channels == 2
+
+    vol_hu = np.stack([chest_hu(128, 128, z=i) for i in range(4)])
+    stored = (vol_hu + 1024).astype(np.int16)
+    out = eng.generate_batch(stored.astype(np.float32), 1.0, -1024.0)
+    assert out["st_stored"].shape == (4, 128, 128)
+    final = eng.run_patient(stored, 1.0, -1024.0, chunk=2)
+    assert final.shape == (4, 128, 128) and final.dtype == np.int16
+    hu_out = final.astype(np.float32) - 1024.0
+    assert hu_out.min() >= -1025 and hu_out.max() <= 3000
+
+
+def test_run_patient_matches_host_pipeline(rng):
+    """The fused on-device patient program must match the step-by-step host
+    pipeline (generate_batch -> composite_volume -> synthesize_volume)."""
+    from ducosy_tpu.config import InferConfig
+
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    p2 = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))["params"]
+    eng = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                              compute_dtype=jnp.float32)
+    stored = rng.integers(0, 3000, (6, 32, 32)).astype(np.float32)
+
+    fused = eng.run_patient(stored.astype(np.int16), 1.0, -1024.0, chunk=2)
+
+    out = eng.generate_batch(stored, 1.0, -1024.0)
+    merged = synthesis.composite_volume(stored, out["raw_hu"],
+                                        out["st_stored"], out["lung_stored"])
+    stepwise = synthesis.synthesize_volume(merged, InferConfig())
+    # int16 rounding at the boundary can differ by 1
+    assert np.mean(np.abs(fused.astype(np.int32)
+                          - stepwise.astype(np.int32)) <= 1) > 0.999
+
+
+def test_run_patient_multi_device_mesh(rng):
+    """Mesh-sharded patient pipeline on the 8-virtual-device backend: same
+    int16 output as the single-device program."""
+    from ducosy_tpu.parallel import data_mesh
+
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    p2 = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))["params"]
+    stored = rng.integers(0, 3000, (16, 32, 32)).astype(np.int16)
+
+    single = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                                 compute_dtype=jnp.float32)
+    ref = single.run_patient(stored, 1.0, -1024.0, chunk=8)
+
+    mesh = data_mesh()
+    assert mesh.devices.size == 8
+    sharded = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                                  compute_dtype=jnp.float32, mesh=mesh)
+    got = sharded.run_patient(stored, 1.0, -1024.0, chunk=8)
+    assert np.mean(np.abs(got.astype(np.int32)
+                          - ref.astype(np.int32)) <= 1) > 0.999
+
+    with pytest.raises(ValueError):
+        sharded.run_patient(stored, 1.0, -1024.0, chunk=6)
