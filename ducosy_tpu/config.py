@@ -77,6 +77,9 @@ class ModelConfig:
     cbam_spatial_kernel: int = 7
     disc_base_channels: int = 64
     output_channels: int = 1
+    # Pallas fused InstanceNorm in the generator trunk (TPU only; analytic
+    # VJP so it trains). Off by default for CPU-portable training.
+    fused_norm: bool = False
 
 
 @dataclass(frozen=True)

@@ -129,6 +129,20 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
             timer.tick()
             if step_idx % cfg.log_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
+                # failure detection: a non-finite loss means the run is
+                # diverging — save an emergency checkpoint and stop loudly
+                # instead of silently corrupting the parameters.
+                if not all(np.isfinite(v) for v in last_metrics.values()):
+                    ckpt.save_checkpoint(
+                        os.path.join(saved_models_dir, "checkpoint_nan"),
+                        state)
+                    logger.log({"epoch": epoch + 1, "step": step_idx,
+                                "event": "non_finite_loss", **last_metrics},
+                               force_print=True)
+                    raise FloatingPointError(
+                        f"non-finite loss at epoch {epoch + 1} step "
+                        f"{step_idx}: {last_metrics} (state saved to "
+                        "checkpoint_nan)")
                 logger.log({"epoch": epoch + 1, "step": step_idx, "lr": lr,
                             "steps_per_s": timer.rate(), **last_metrics})
 

@@ -59,6 +59,7 @@ def build_models(range_cfg: RangeConfig, model_cfg: ModelConfig = ModelConfig(),
         base_channels=model_cfg.base_channels,
         use_cbam=range_cfg.use_cbam,
         dtype=dtype,
+        fused_norm=model_cfg.fused_norm,
     )
     disc = Discriminator(
         input_channels=1,
