@@ -42,6 +42,8 @@ def parse_args(argv=None):
     p.add_argument("--max_epochs", type=int, default=None,
                    help="cap epochs this invocation (resume continues)")
     p.add_argument("--num_residual_blocks", type=int, default=9)
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="write a jax.profiler trace of a few early steps")
     return p.parse_args(argv)
 
 
@@ -59,7 +61,8 @@ def main(argv=None):
         data_root=args.data_root, dataset_names=args.dataset_names,
         ncct_folder=args.ncct_folder, cect_folder=args.cect_folder,
         resume=args.resume, img_size=args.img_size,
-        val_split=args.val_split, compute_dtype=args.compute_dtype)
+        val_split=args.val_split, compute_dtype=args.compute_dtype,
+        profile_dir=args.profile_dir)
     os.makedirs(cfg.training_dir, exist_ok=True)
 
     targets = ["soft_tissue", "lung"] if args.target_model == "all" \

@@ -115,6 +115,11 @@ class TrainConfig:
     resume: str = "checkpoint"  # orbax checkpoint directory name; "" = fresh
     checkpoint_keep: int = 3
     log_every: int = 10
+    # when set, a jax.profiler trace of steps [profile_start, profile_stop)
+    # of the first epoch is written here (view with tensorboard/xprof)
+    profile_dir: str = ""
+    profile_start: int = 5
+    profile_stop: int = 8
 
 
 @dataclass(frozen=True)

@@ -124,6 +124,13 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
         for step_idx, host_batch in enumerate(loader):
             if max_steps_per_epoch and step_idx >= max_steps_per_epoch:
                 break
+            # optional profiler window (first epoch only)
+            if cfg.profile_dir and epoch == start_epoch:
+                if step_idx == cfg.profile_start:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                elif step_idx == cfg.profile_stop:
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {cfg.profile_dir}")
             batch = _to_device_batch(mesh, host_batch)
             state, metrics = train_step(state, batch)
             timer.tick()
