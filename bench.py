@@ -32,7 +32,7 @@ def main():
     from ducosy_tpu.models import Generator
 
     n_slices = int(os.environ.get("BENCH_SLICES", "64"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "16"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
 
     model_cfg = ModelConfig()

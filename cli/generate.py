@@ -35,7 +35,7 @@ def parse_args(argv=None):
     p.add_argument("--dataset_names", type=str, nargs="+", default=[])
     p.add_argument("--ncct_folder", type=str, default="POST VUE")
     p.add_argument("--img_size", type=int, default=512)
-    p.add_argument("--slice_batch", type=int, default=16)
+    p.add_argument("--slice_batch", type=int, default=32)
     p.add_argument("--soft_tissue_model", type=str,
                    default="./checkpoints/v3/Soft_Tissue_Generator_A2B.pth")
     p.add_argument("--lung_model", type=str,

@@ -127,7 +127,7 @@ class InferConfig:
     """Inference/synthesis settings (argmanager.py:4-49, generate.py)."""
 
     img_size: int = 512
-    slice_batch: int = 16  # batch slices under one jit (ref loops batch=1)
+    slice_batch: int = 32  # batch slices under one jit (ref loops batch=1)
     window_center: float = 40.0
     window_width: float = 400.0
     data_dir_root: str = "./data"

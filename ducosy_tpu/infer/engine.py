@@ -214,7 +214,7 @@ class DualGeneratorEngine:
 
     # ------------------------------------------------- full-patient pipeline
     def run_patient(self, stored_volume: np.ndarray, slope: float,
-                    intercept: float, *, chunk: int = 16,
+                    intercept: float, *, chunk: int = 32,
                     pre_z_sigma: float = 0.8, sigma_z: float = 0.7,
                     sigma_xy: float = 0.05, sharpen_amount: float = 1.7,
                     sharpen_radius: float = 1.2) -> np.ndarray:
@@ -231,7 +231,7 @@ class DualGeneratorEngine:
         return np.asarray(out)
 
     def run_patient_async(self, stored_volume: np.ndarray, slope: float,
-                          intercept: float, *, chunk: int = 16,
+                          intercept: float, *, chunk: int = 32,
                           pre_z_sigma: float = 0.8, sigma_z: float = 0.7,
                           sigma_xy: float = 0.05, sharpen_amount: float = 1.7,
                           sharpen_radius: float = 1.2):
