@@ -64,19 +64,25 @@ class HostLoader:
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
+        error: list = []
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for chunk in batches:
-                    if stop.is_set():
-                        break
-                    samples = list(pool.map(self.dataset.__getitem__, chunk))
-                    batch = {
-                        k: np.stack([s[k] for s in samples])
-                        for k in samples[0]
-                    }
-                    out_q.put(batch)
-            out_q.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                chunk))
+                        batch = {
+                            k: np.stack([s[k] for s in samples])
+                            for k in samples[0]
+                        }
+                        out_q.put(batch)
+            except BaseException as e:  # propagate to the consumer
+                error.append(e)
+            finally:
+                out_q.put(None)  # always unblock the consumer
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -84,6 +90,9 @@ class HostLoader:
             while True:
                 batch = out_q.get()
                 if batch is None:
+                    if error:
+                        raise RuntimeError(
+                            "HostLoader worker failed") from error[0]
                     return
                 yield batch
         finally:

@@ -128,3 +128,31 @@ def test_train_loop_end_to_end(synth_root, tmp_path):
     out2 = train_cycle_gan(cfg, "soft_tissue", mcfg, max_epochs=1)
     assert out2["epochs_run"] == 1
     assert (saved / "G_A2B_epoch_3.npz").exists()
+
+
+def test_loader_propagates_worker_errors():
+    """A dataset exception must surface in the consumer, not hang the
+    iterator (the producer always enqueues its sentinel)."""
+
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise OSError("corrupt file")
+            return {"a": np.zeros((4, 4, 1), np.float32)}
+
+    loader = HostLoader(Broken(), batch_size=4, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="HostLoader worker failed"):
+        list(loader)
+
+
+def test_loader_early_break_does_not_hang(synth_root):
+    patients = list_patient_dirs(synth_root, "SynthSet")
+    ds = SlicePairDataset(patients, SOFT_TISSUE, img_size=32)
+    loader = HostLoader(ds, batch_size=4, shuffle=False, num_workers=2)
+    for batch in loader:
+        break  # consumer abandons mid-epoch; producer must wind down
+    # a second epoch still works
+    assert len(list(loader)) == 3
