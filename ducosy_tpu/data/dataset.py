@@ -17,7 +17,7 @@ Returns NHWC numpy arrays; batching/prefetch live in loader.py.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,6 @@ import os
 import random
 from typing import List, Sequence, Tuple
 
-from ducosy_tpu.dicom import dcmread
 
 
 def list_patient_dirs(data_root: str, dataset_names: str) -> List[str]:

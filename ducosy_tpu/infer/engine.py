@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ducosy_tpu.config import LUNG, SOFT_TISSUE, InferConfig, ModelConfig, RangeConfig
+from ducosy_tpu.config import LUNG, SOFT_TISSUE, ModelConfig, RangeConfig
 from ducosy_tpu.models import Generator
 from ducosy_tpu.models.torch_import import (
     generator_params_from_torch,

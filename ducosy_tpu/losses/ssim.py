@@ -16,7 +16,6 @@ from __future__ import annotations
 
 import numpy as np
 import jax.numpy as jnp
-from jax import lax
 
 _K1 = 0.01
 _K2 = 0.03

@@ -26,7 +26,7 @@ the bottom-25% spine band, region-grown back, holes filled.
 """
 from __future__ import annotations
 
-from typing import Dict, Iterable, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 from scipy import ndimage

@@ -12,9 +12,6 @@ XLA-friendly separable convolutions on NHWC tensors:
 """
 from __future__ import annotations
 
-import math
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax

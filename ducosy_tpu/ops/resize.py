@@ -9,7 +9,6 @@ with torchvision to within interpolation tolerance.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def resize_hw(x: jax.Array, out_h: int, out_w: int, *, antialias: bool = True,

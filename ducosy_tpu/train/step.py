@@ -18,8 +18,7 @@ discriminators see single-channel images (trainer.py:470,518,523).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +26,6 @@ import optax
 
 from ducosy_tpu.config import LossConfig, TrainConfig
 from ducosy_tpu.losses.suite import (
-    LossTerms,
     discriminator_loss,
     generator_loss,
     validation_generator_loss,

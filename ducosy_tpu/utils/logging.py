@@ -8,7 +8,6 @@ in-terminal progress line. No external experiment tracker needed.
 from __future__ import annotations
 
 import json
-import os
 import sys
 import time
 from typing import Any, Dict, Optional
