@@ -24,6 +24,8 @@ def parse_args(argv=None):
                    help="clear the conversion + result caches first")
     p.add_argument("--fast", action="store_true",
                    help="skip figures")
+    p.add_argument("--mask", action="store_true",
+                   help="evaluate the masked triplets under <output>/masked")
     return p.parse_args(argv)
 
 
@@ -34,7 +36,7 @@ def main(argv=None):
     calc_dir, data_dir, tasks = report.convert(
         args.input_dir_root, args.output_dir_root, args.dataset_names,
         ncct_folder=args.ncct_folder, cect_folder=args.cect_folder,
-        reset=args.reset)
+        reset=args.reset, masked=args.mask)
     print(f"converted {len(tasks)} patients -> {data_dir}")
     results = report.calculate(data_dir, calc_dir, tasks,
                                num_workers=args.num_workers,

@@ -66,18 +66,28 @@ def _hu_volume(dcm_dir: str) -> Optional[np.ndarray]:
 
 def convert(input_dir_root: str, output_dir_root: str,
             dataset_names: List[str], *, ncct_folder: str = "POST VUE",
-            cect_folder: str = "POST STD", reset: bool = False
+            cect_folder: str = "POST STD", reset: bool = False,
+            masked: bool = False
             ) -> Tuple[str, str, List[Tuple[str, str]]]:
-    """Cache HU volumes as `{dataset}_{patient}_{category}.npy`."""
-    calc_output_dir = os.path.join(output_dir_root, "calculated")
+    """Cache HU volumes as `{dataset}_{patient}_{category}.npy`.
+
+    masked=True evaluates the TotalSegmentator-masked triplets under
+    `<output>/masked/` into `calculated_mask/` (calculate.py:126-152)."""
+    calc_output_dir = os.path.join(
+        output_dir_root, "calculated_mask" if masked else "calculated")
     data_dir = os.path.join(calc_output_dir, "data")
     if reset and os.path.exists(calc_output_dir):
         shutil.rmtree(calc_output_dir)
     os.makedirs(data_dir, exist_ok=True)
 
     tasks: List[Tuple[str, str]] = []
-    categories = [("vue", input_dir_root), ("std", input_dir_root),
-                  ("generated", output_dir_root)]
+    if masked:
+        masked_root = os.path.join(output_dir_root, "masked")
+        categories = [("vue", masked_root), ("std", masked_root),
+                      ("generated", masked_root)]
+    else:
+        categories = [("vue", input_dir_root), ("std", input_dir_root),
+                      ("generated", output_dir_root)]
     for category, root in categories:
         for dataset_name in dataset_names:
             base = os.path.join(root, dataset_name)
