@@ -108,8 +108,10 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
 
     mesh = mesh or data_mesh(num_devices)
     state = replicate(mesh, state)
-    train_step = make_train_step(gen, disc, cfg, loss_cfg)
+    train_step = make_train_step(gen, disc, cfg, loss_cfg,
+                                 remat=(cfg.remat == "on"))
     val_step = make_val_step(gen, disc, cfg)
+    remat_active = cfg.remat == "on"
 
     logger = MetricsLogger(os.path.join(training_dir, "metrics.jsonl"))
     epochs = min(cfg.epochs, start_epoch + max_epochs) if max_epochs \
@@ -132,7 +134,20 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {cfg.profile_dir}")
             batch = _to_device_batch(mesh, host_batch)
-            state, metrics = train_step(state, batch)
+            try:
+                state, metrics = train_step(state, batch)
+            except Exception as e:
+                # remat="auto": fall back to rematerialized generator
+                # forwards when the un-remat'd step exhausts HBM
+                oom = "RESOURCE_EXHAUSTED" in str(e) or                     "out of memory" in str(e).lower()
+                if not (cfg.remat == "auto" and not remat_active and oom):
+                    raise
+                print("train step exceeded HBM; retrying with remat'd "
+                      "generator forwards")
+                train_step = make_train_step(gen, disc, cfg, loss_cfg,
+                                             remat=True)
+                remat_active = True
+                state, metrics = train_step(state, batch)
             timer.tick()
             if step_idx % cfg.log_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
