@@ -8,9 +8,9 @@ Rebuild of calculate.py:243-379 with the same conventions, self-contained
   ssim   — skimage-convention SSIM per slice: uniform 7x7 window,
            sample covariance, data_range = range(img2)          (:265-272)
   ms_ssim— multi-scale SSIM on min-max normalized volumes       (:274-291)
-  lpips  — perceptual distance; requires pretrained AlexNet weights which
-           cannot ship offline -> returns NaN exactly like the reference's
-           DL_LIB_AVAILABLE fallback (:293-318, :33-41)
+  lpips  — perceptual distance, JAX AlexNet + linear heads (eval/lpips.py)
+           driven by a weights file; NaN when no weights are available,
+           like the reference's DL_LIB_AVAILABLE fallback (:293-318, :33-41)
   emd    — per-slice Wasserstein distance of globally-normalized
            intensities, scaled by 1/pixel count                 (:320-338)
   ts     — texture similarity: 1 - mean|sobel(a)-sobel(b)| / max|sobel|
@@ -99,15 +99,25 @@ def calculate_ms_ssim(img1: np.ndarray, img2: np.ndarray) -> Pair:
     return val, [val] * len(img1)
 
 
+_LPIPS_CACHE: dict = {}
+
+
 def calculate_lpips(img1: np.ndarray, img2: np.ndarray, *,
                     weights_path: str | None = None) -> Pair:
-    """LPIPS needs pretrained AlexNet weights (not shippable offline). With
-    no weights this returns NaN — the reference does the same when its
-    lpips import fails (calculate.py:33-41, 295)."""
-    if weights_path is None:
+    """LPIPS(AlexNet) perceptual distance (calculate.py:293-318). The
+    network runs in JAX (eval/lpips.py) from a weights file — pretrained
+    AlexNet weights cannot ship offline, so with no file available this
+    returns NaN exactly like the reference when its lpips import fails
+    (calculate.py:33-41, 295)."""
+    from ducosy_tpu.eval import lpips as lpips_mod
+
+    path = weights_path or lpips_mod.default_weights_path()
+    if path is None:
         return float("nan"), []
-    raise NotImplementedError(
-        "offline LPIPS weights loading not implemented yet")
+    model = _LPIPS_CACHE.get(path)
+    if model is None:
+        model = _LPIPS_CACHE[path] = lpips_mod.LPIPSAlex(path)
+    return model(img1, img2)
 
 
 def calculate_emd(img1: np.ndarray, img2: np.ndarray) -> Pair:

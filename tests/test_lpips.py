@@ -1,0 +1,136 @@
+"""LPIPS(AlexNet) — JAX implementation vs an independent torch recompute.
+
+Pretrained weights can't ship offline, so these tests generate a random
+(but architecture-correct) weight set, save it in the torch layout the
+loader accepts (torchvision `features.*` + lpips `linN.model.1.weight`),
+and cross-check the JAX network against a from-scratch torch forward that
+follows the lpips package definition (scaling layer, AlexNet trunk,
+unit-normalized squared feature diffs, 1x1 heads, spatial mean, stage sum).
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from ducosy_tpu.eval.lpips import (  # noqa: E402
+    LPIPSAlex,
+    load_lpips_weights,
+    save_lpips_weights_npz,
+)
+from ducosy_tpu.eval.metrics import calculate_lpips  # noqa: E402
+
+_CONV_DEFS = [  # (torch key, in_ch, out_ch, kernel, stride, pad, pool_before)
+    ("features.0", 3, 64, 11, 4, 2, False),
+    ("features.3", 64, 192, 5, 1, 2, True),
+    ("features.6", 192, 384, 3, 1, 1, True),
+    ("features.8", 384, 256, 3, 1, 1, False),
+    ("features.10", 256, 256, 3, 1, 1, False),
+]
+
+
+def _synthetic_state_dict(seed=0):
+    g = torch.Generator().manual_seed(seed)
+    sd = {}
+    for key, cin, cout, k, _, _, _ in _CONV_DEFS:
+        sd[f"{key}.weight"] = torch.randn(cout, cin, k, k, generator=g) * 0.05
+        sd[f"{key}.bias"] = torch.randn(cout, generator=g) * 0.05
+    for i, (_, _, cout, *_rest) in enumerate(_CONV_DEFS):
+        sd[f"lin{i}.model.1.weight"] = torch.rand(
+            1, cout, 1, 1, generator=g) * 0.1
+    return sd
+
+
+def _torch_lpips(sd, x0, x1):
+    """Independent reference forward (float64 for a stable gold value)."""
+    shift = torch.tensor([-0.030, -0.088, -0.188],
+                         dtype=torch.float64).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450],
+                         dtype=torch.float64).view(1, 3, 1, 1)
+
+    def feats(x):
+        h = (x.repeat(1, 3, 1, 1) - shift) / scale
+        outs = []
+        for key, _, _, k, stride, pad, pool in _CONV_DEFS:
+            if pool:
+                h = torch.nn.functional.max_pool2d(h, 3, stride=2)
+            h = torch.nn.functional.conv2d(
+                h, sd[f"{key}.weight"].double(), sd[f"{key}.bias"].double(),
+                stride=stride, padding=pad)
+            h = torch.relu(h)
+            outs.append(h)
+        return outs
+
+    total = torch.zeros(x0.shape[0], dtype=torch.float64)
+    for i, (a, b) in enumerate(zip(feats(x0), feats(x1))):
+        na = a / (a.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        nb = b / (b.pow(2).sum(1, keepdim=True).sqrt() + 1e-10)
+        d = (na - nb).pow(2)
+        lin = sd[f"lin{i}.model.1.weight"].double()
+        total = total + torch.nn.functional.conv2d(d, lin).mean(dim=(1, 2, 3))
+    return total.numpy()
+
+
+@pytest.fixture(scope="module")
+def weights_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("lpips") / "alex.pth"
+    torch.save(_synthetic_state_dict(), str(path))
+    return str(path)
+
+
+def test_lpips_matches_torch_recompute(weights_file, rng):
+    vol1 = rng.uniform(-400, 600, (3, 64, 64)).astype(np.float32)
+    vol2 = vol1 + rng.normal(0, 60, vol1.shape).astype(np.float32)
+    model = LPIPSAlex(weights_file)
+    mean_val, per_slice = model(vol1, vol2)
+
+    def norm(v):
+        v = (v - v.min()) / (v.max() - v.min() + 1e-8)
+        return v * 2.0 - 1.0
+
+    sd = _synthetic_state_dict()
+    gold = _torch_lpips(
+        sd,
+        torch.from_numpy(norm(vol1)).double().unsqueeze(1),
+        torch.from_numpy(norm(vol2)).double().unsqueeze(1))
+    np.testing.assert_allclose(per_slice, gold, rtol=2e-3, atol=1e-5)
+    assert mean_val == pytest.approx(float(gold.mean()), rel=2e-3)
+
+
+def test_lpips_identity_is_zero(weights_file, rng):
+    vol = rng.uniform(-1000, 1000, (2, 64, 64)).astype(np.float32)
+    val, per = LPIPSAlex(weights_file)(vol, vol.copy())
+    assert val == pytest.approx(0.0, abs=1e-6)
+    assert len(per) == 2
+
+
+def test_metrics_entry_uses_weights(weights_file, rng):
+    vol1 = rng.uniform(0, 1, (2, 64, 64)).astype(np.float32)
+    vol2 = rng.uniform(0, 1, (2, 64, 64)).astype(np.float32)
+    val, per = calculate_lpips(vol1, vol2, weights_path=weights_file)
+    assert np.isfinite(val) and len(per) == 2 and val > 0
+
+
+def test_metrics_entry_nan_without_weights(rng, monkeypatch, tmp_path):
+    monkeypatch.chdir(tmp_path)  # no checkpoints/lpips_alex.* here
+    monkeypatch.delenv("DUCOSY_LPIPS_WEIGHTS", raising=False)
+    vol = rng.uniform(0, 1, (2, 32, 32)).astype(np.float32)
+    val, per = calculate_lpips(vol, vol)
+    assert np.isnan(val) and per == []
+
+
+def test_npz_roundtrip(weights_file, tmp_path, rng):
+    params = load_lpips_weights(weights_file)
+    npz = tmp_path / "alex.npz"
+    save_lpips_weights_npz(params, str(npz))
+    re = load_lpips_weights(str(npz))
+    for k in params:
+        np.testing.assert_array_equal(params[k], re[k])
+
+
+def test_loader_rejects_incomplete(tmp_path):
+    sd = _synthetic_state_dict()
+    del sd["lin3.model.1.weight"]
+    path = tmp_path / "bad.pth"
+    torch.save(sd, str(path))
+    with pytest.raises(ValueError, match="lin3"):
+        load_lpips_weights(str(path))
