@@ -37,7 +37,14 @@ def parse_args(argv=None):
 
 def generate(args):
     """Per patient: DICOM->NIfTI + TotalSegmentator (masking.py:301-380)."""
-    from ducosy_tpu.masks.totalseg import segment_patient
+    from ducosy_tpu.masks.totalseg import (register_signal_handlers,
+                                           segment_patient)
+
+    # SIGINT/SIGTERM + atexit teardown of the external segmentation fleet
+    # (masking.py:71-95): the parent exits cleanly (terminating the pool),
+    # and each worker — via the initializer below — kills its own
+    # TotalSegmentator subprocess tree, so an interrupt leaves no orphans.
+    register_signal_handlers()
 
     tasks = []
     for dataset in args.dataset_names:
@@ -53,7 +60,7 @@ def generate(args):
                           os.path.join(mask, pid), args.device))
     print(f"segmenting {len(tasks)} patients "
           f"({args.batch_size} parallel workers)")
-    with Pool(args.batch_size) as pool:
+    with Pool(args.batch_size, initializer=register_signal_handlers) as pool:
         for pid, ok, err in pool.imap_unordered(segment_patient, tasks):
             print(f"  {pid}: {'OK' if ok else f'FAILED — {err}'}")
 

@@ -112,6 +112,9 @@ class TrainConfig:
     cect_folder: str = "POST STD"
     training_dir: str = "./training_dir"
     resume: str = "checkpoint"  # orbax checkpoint directory name; "" = fresh
+    # retention for per-epoch G_*_epoch_{N}.npz snapshots: keep the newest
+    # K (best/last/full-state checkpoints are never pruned); 0 = keep all
+    # (the reference's unbounded behavior, trainer.py:572-573)
     checkpoint_keep: int = 3
     log_every: int = 10
     # generator-forward rematerialization inside the train step:

@@ -6,7 +6,9 @@ pool decodes DICOM + generates masks (NumPy releases the GIL for the heavy
 scipy/numpy work), batches are assembled as stacked NHWC arrays, and a
 bounded queue keeps `prefetch` batches ready so host I/O overlaps device
 steps. Batches are padded to a fixed batch size by wrapping (static shapes
-for jit; the reference instead emits a ragged final batch).
+for jit; the reference instead emits a ragged final batch) — a padded batch
+carries a per-sample "weight" vector (1 real / 0 padded) so the loss suite
+can reproduce the ragged batch's gradients exactly (losses/basic.wmean).
 """
 from __future__ import annotations
 
@@ -49,18 +51,20 @@ class HostLoader:
         order = self._index_order()
         self._epoch += 1
         n = len(order)
-        batches = []
+        batches = []  # (indices, n_real) pairs
         for start in range(0, n, self.batch_size):
             chunk = order[start:start + self.batch_size]
-            if len(chunk) < self.batch_size:
+            n_real = len(chunk)
+            if n_real < self.batch_size:
                 if self.drop_last:
                     continue
                 if self.pad_final:
                     # wrap-around padding; cycles when the dataset itself is
-                    # smaller than one batch (static shapes for jit)
-                    pad = np.resize(order, self.batch_size - len(chunk))
+                    # smaller than one batch (static shapes for jit). The
+                    # duplicates are masked out downstream via "weight".
+                    pad = np.resize(order, self.batch_size - n_real)
                     chunk = np.concatenate([chunk, pad])
-            batches.append(chunk)
+            batches.append((chunk, n_real))
 
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -69,7 +73,7 @@ class HostLoader:
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    for chunk in batches:
+                    for chunk, n_real in batches:
                         if stop.is_set():
                             return
                         samples = list(pool.map(self.dataset.__getitem__,
@@ -78,6 +82,10 @@ class HostLoader:
                             k: np.stack([s[k] for s in samples])
                             for k in samples[0]
                         }
+                        if n_real < len(chunk):
+                            w = np.zeros(len(chunk), np.float32)
+                            w[:n_real] = 1.0
+                            batch["weight"] = w
                         out_q.put(batch)
             except BaseException as e:  # propagate to the consumer
                 error.append(e)

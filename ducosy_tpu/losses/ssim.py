@@ -65,15 +65,23 @@ def _ssim_maps(x, y, win, data_range):
 
 
 def ssim(x, y, *, data_range: float = 1.0, win_size: int = 11,
-         win_sigma: float = 1.5):
+         win_sigma: float = 1.5, sample_weight=None):
     """Mean SSIM of NHWC or NHW tensors (pytorch_msssim-compatible scalar).
-    Channel dims fold into the batch — no 1-channel NHWC tensors on TPU."""
+    Channel dims fold into the batch — no 1-channel NHWC tensors on TPU.
+    Optional (N,) sample_weight restricts the mean to the weighted samples
+    (exact ragged-batch semantics for padded batches)."""
     win = _gaussian_window(win_size, win_sigma)
-    x3, _ = _to_nhw(x)
+    x3, shape = _to_nhw(x)
     y3, _ = _to_nhw(y)
     ssim_map, _ = _ssim_maps(x3.astype(jnp.float32), y3.astype(jnp.float32),
                              win, data_range)
-    return jnp.mean(ssim_map)
+    if sample_weight is None:
+        return jnp.mean(ssim_map)
+    from ducosy_tpu.losses.basic import wmean
+    w = sample_weight
+    if len(shape) == 2:  # channels were folded into the batch axis
+        w = jnp.repeat(w, shape[1])
+    return wmean(ssim_map, w)
 
 
 def ssim_loss(x, y, **kw):

@@ -50,38 +50,47 @@ def generator_loss(
     d_a_fake_logits, d_b_fake_logits,  # D_A(fake_a), D_B(fake_b)
     cfg: TrainConfig,
     loss_cfg: LossConfig = LossConfig(),
+    sample_weight=None,        # (N,) 1/0; exact ragged-batch semantics
+    n_real: int | None = None,  # static real-sample count (edge top-k)
 ) -> LossTerms:
+    sw = sample_weight
     real_a, real_b = _squeeze(real_a), _squeeze(real_b)
     fake_a, fake_b = _squeeze(fake_a), _squeeze(fake_b)
     rec_a, rec_b = _squeeze(rec_a), _squeeze(rec_b)
     id_a, id_b = _squeeze(id_a), _squeeze(id_b)
-    loss_id = (basic.l1(id_a, real_a) + basic.l1(id_b, real_b)) / 2
-    loss_gan = (basic.lsgan_real(d_b_fake_logits)
-                + basic.lsgan_real(d_a_fake_logits)) / 2
-    loss_cycle = (basic.l1(rec_a, real_a) + basic.l1(rec_b, real_b)) / 2
-    loss_grad_cycle = (basic.gradient_loss(rec_a, real_a)
-                       + basic.gradient_loss(rec_b, real_b)) / 2
-    loss_grad_id = (basic.gradient_loss(id_a, real_a)
-                    + basic.gradient_loss(id_b, real_b)) / 2
+    loss_id = (basic.l1(id_a, real_a, sw) + basic.l1(id_b, real_b, sw)) / 2
+    loss_gan = (basic.lsgan_real(d_b_fake_logits, sw)
+                + basic.lsgan_real(d_a_fake_logits, sw)) / 2
+    loss_cycle = (basic.l1(rec_a, real_a, sw)
+                  + basic.l1(rec_b, real_b, sw)) / 2
+    loss_grad_cycle = (basic.gradient_loss(rec_a, real_a, sw)
+                       + basic.gradient_loss(rec_b, real_b, sw)) / 2
+    loss_grad_id = (basic.gradient_loss(id_a, real_a, sw)
+                    + basic.gradient_loss(id_b, real_b, sw)) / 2
     loss_ssim = 1.0 - (ssim_mod.ssim(rec_a, real_a,
                                      win_size=loss_cfg.ssim_win_size,
-                                     win_sigma=loss_cfg.ssim_win_sigma)
+                                     win_sigma=loss_cfg.ssim_win_sigma,
+                                     sample_weight=sw)
                        + ssim_mod.ssim(rec_b, real_b,
                                        win_size=loss_cfg.ssim_win_size,
-                                       win_sigma=loss_cfg.ssim_win_sigma)) / 2
+                                       win_sigma=loss_cfg.ssim_win_sigma,
+                                       sample_weight=sw)) / 2
     loss_ca = contrast.contrast_attention_loss(
         fake_b, real_b, real_a,
         sigma=loss_cfg.contrast_attention_sigma,
         min_weight=loss_cfg.contrast_attention_min_weight,
         max_weight=loss_cfg.contrast_attention_max_weight,
-        blur_kernel=loss_cfg.contrast_attention_blur_kernel)
+        blur_kernel=loss_cfg.contrast_attention_blur_kernel,
+        sample_weight=sw)
     loss_cr = contrast.contrast_region_loss(
         fake_b, real_b, real_a,
         threshold=loss_cfg.contrast_region_threshold,
         weight=loss_cfg.contrast_region_weight,
-        pool=loss_cfg.contrast_region_pool)
+        pool=loss_cfg.contrast_region_pool,
+        sample_weight=sw)
     loss_ce = contrast.contrast_edge_loss(
-        fake_b, real_b, topk_frac=loss_cfg.edge_topk_frac)
+        fake_b, real_b, topk_frac=loss_cfg.edge_topk_frac,
+        sample_weight=sw, n_real=n_real)
 
     total = (loss_gan
              + cfg.lambda_cyc * loss_cycle
@@ -96,23 +105,26 @@ def generator_loss(
                      loss_grad_id, loss_ssim, loss_ca, loss_cr, loss_ce)
 
 
-def discriminator_loss(real_logits, fake_logits):
+def discriminator_loss(real_logits, fake_logits, sample_weight=None):
     """(MSE(D(real), 1) + MSE(D(fake.detach()), 0)) / 2
     (trainer.py:518, 523). Detaching is the caller's job (lax.stop_gradient
     or simply not differentiating w.r.t. generator params)."""
-    return (basic.lsgan_real(real_logits) + basic.lsgan_fake(fake_logits)) / 2
+    return (basic.lsgan_real(real_logits, sample_weight)
+            + basic.lsgan_fake(fake_logits, sample_weight)) / 2
 
 
 def validation_generator_loss(*, real_a, real_b, fake_a, fake_b, rec_a, rec_b,
                               id_a, id_b, d_a_fake_logits, d_b_fake_logits,
-                              cfg: TrainConfig):
+                              cfg: TrainConfig, sample_weight=None):
     """Validation objective: GAN + lambda_cyc*cycle + lambda_id*identity only
     (validate_and_save_images, trainer.py:243-247)."""
+    sw = sample_weight
     real_a, real_b = _squeeze(real_a), _squeeze(real_b)
     rec_a, rec_b = _squeeze(rec_a), _squeeze(rec_b)
     id_a, id_b = _squeeze(id_a), _squeeze(id_b)
-    loss_id = (basic.l1(id_a, real_a) + basic.l1(id_b, real_b)) / 2
-    loss_gan = (basic.lsgan_real(d_b_fake_logits)
-                + basic.lsgan_real(d_a_fake_logits)) / 2
-    loss_cycle = (basic.l1(rec_a, real_a) + basic.l1(rec_b, real_b)) / 2
+    loss_id = (basic.l1(id_a, real_a, sw) + basic.l1(id_b, real_b, sw)) / 2
+    loss_gan = (basic.lsgan_real(d_b_fake_logits, sw)
+                + basic.lsgan_real(d_a_fake_logits, sw)) / 2
+    loss_cycle = (basic.l1(rec_a, real_a, sw)
+                  + basic.l1(rec_b, real_b, sw)) / 2
     return loss_gan + cfg.lambda_cyc * loss_cycle + cfg.lambda_id * loss_id

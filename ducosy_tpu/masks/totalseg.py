@@ -20,9 +20,13 @@ its nnU-Net internals are out of scope; this module provides:
 """
 from __future__ import annotations
 
+import atexit
 import glob
 import os
+import signal
 import subprocess
+import sys
+import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -47,7 +51,64 @@ def kill_process_tree(pid: int):
                 pass
         parent.kill()
     except Exception:
-        pass
+        # psutil missing or the process already exited: best-effort direct
+        # kill so orphans don't outlive an interrupted run
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except (OSError, ProcessLookupError):
+            pass
+
+
+# ---------------------------------------------------------- fleet lifecycle
+# Per-process registry of live external segmentation subprocesses so an
+# interrupted run (SIGINT/SIGTERM or normal exit) never leaks workers —
+# the reference installs the same handlers around its fleet
+# (masking.py:71-95). Workers register their own subprocess; the Pool
+# parent installs the handlers in each worker via `initializer=`.
+_ACTIVE_PIDS: set[int] = set()
+_PIDS_LOCK = threading.Lock()
+_HANDLERS_INSTALLED = False
+
+
+def _register_pid(pid: int):
+    with _PIDS_LOCK:
+        _ACTIVE_PIDS.add(pid)
+
+
+def _unregister_pid(pid: int):
+    with _PIDS_LOCK:
+        _ACTIVE_PIDS.discard(pid)
+
+
+def cleanup_workers():
+    """Kill every registered external subprocess tree (idempotent)."""
+    with _PIDS_LOCK:
+        pids = list(_ACTIVE_PIDS)
+        _ACTIVE_PIDS.clear()
+    for pid in pids:
+        kill_process_tree(pid)
+
+
+def register_signal_handlers():
+    """Install SIGINT/SIGTERM handlers + atexit cleanup that tear down any
+    live segmentation subprocesses before exiting (masking.py:71-95). Safe
+    to call repeatedly; also used as a multiprocessing.Pool initializer so
+    each worker cleans up its own subprocess when the pool is terminated."""
+    global _HANDLERS_INSTALLED
+    if _HANDLERS_INSTALLED:
+        return
+
+    def _handler(signum, _frame):
+        cleanup_workers()
+        sys.exit(128 + signum)
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, _handler)
+        except ValueError:  # non-main thread: atexit still covers us
+            pass
+    atexit.register(cleanup_workers)
+    _HANDLERS_INSTALLED = True
 
 
 def dicom_to_nifti(patient_dir: str, nifti_path: str) -> bool:
@@ -91,6 +152,7 @@ def run_totalsegmentator(nifti_path: str, out_path: str, *,
                                    stderr=subprocess.PIPE, text=True)
     except FileNotFoundError:
         return False, "TotalSegmentator command not found"
+    _register_pid(process.pid)
     try:
         _stdout, stderr = process.communicate(timeout=timeout)
         kill_process_tree(process.pid)
@@ -101,6 +163,8 @@ def run_totalsegmentator(nifti_path: str, out_path: str, *,
     except subprocess.TimeoutExpired:
         kill_process_tree(process.pid)
         return False, "TotalSegmentator timeout"
+    finally:
+        _unregister_pid(process.pid)
 
 
 def segment_patient(task) -> Tuple[str, bool, Optional[str]]:

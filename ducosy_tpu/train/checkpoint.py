@@ -145,11 +145,29 @@ class BestTracker:
 
 
 def save_epoch_snapshots(saved_models_dir: str, epoch1: int, params_a2b,
-                         params_b2a):
-    """Per-epoch + last generator snapshots (trainer.py:572-577)."""
+                         params_b2a, *, keep: int = 0):
+    """Per-epoch + last generator snapshots (trainer.py:572-577).
+
+    `keep` > 0 bounds disk growth: only the newest `keep` per-epoch
+    snapshots are retained (~44 MB each; the reference accumulates one per
+    epoch for 10k epochs). Best-tracker snapshots (`_best_epoch_`), `last`,
+    and the full-state checkpoint are never pruned."""
+    import re
+
     for stem, params in (("G_A2B", params_a2b), ("G_B2A", params_b2a)):
         save_params_npz(
             os.path.join(saved_models_dir, f"{stem}_epoch_{epoch1}.npz"),
             params)
         save_params_npz(
             os.path.join(saved_models_dir, f"{stem}_last.npz"), params)
+    if keep > 0:
+        pat = re.compile(r"^G_(A2B|B2A)_epoch_(\d+)\.npz$")
+        epochs = sorted({int(m.group(2))
+                         for f in os.listdir(saved_models_dir)
+                         if (m := pat.match(f))}, reverse=True)
+        for old_epoch in epochs[keep:]:
+            for stem in ("G_A2B", "G_B2A"):
+                p = os.path.join(saved_models_dir,
+                                 f"{stem}_epoch_{old_epoch}.npz")
+                if os.path.exists(p):
+                    os.remove(p)

@@ -112,6 +112,20 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                                  remat=(cfg.remat == "on"))
     val_step = make_val_step(gen, disc, cfg)
     remat_active = cfg.remat == "on"
+    # wrap-padded final batches carry a "weight" vector and need a step
+    # built with the static real-sample count (exact ragged semantics for
+    # the edge top-k term); one per n_real, compiled lazily and cached
+    final_steps: Dict[int, object] = {}
+
+    def step_for(host_batch):
+        if "weight" not in host_batch:
+            return train_step
+        n_real = int(host_batch["weight"].sum())
+        if n_real not in final_steps:
+            final_steps[n_real] = make_train_step(
+                gen, disc, cfg, loss_cfg, remat=remat_active,
+                n_real=n_real)
+        return final_steps[n_real]
 
     logger = MetricsLogger(os.path.join(training_dir, "metrics.jsonl"))
     epochs = min(cfg.epochs, start_epoch + max_epochs) if max_epochs \
@@ -135,7 +149,7 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                     print(f"profiler trace written to {cfg.profile_dir}")
             batch = _to_device_batch(mesh, host_batch)
             try:
-                state, metrics = train_step(state, batch)
+                state, metrics = step_for(host_batch)(state, batch)
             except Exception as e:
                 # remat="auto": fall back to rematerialized generator
                 # forwards when the un-remat'd step exhausts HBM
@@ -147,7 +161,8 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                 train_step = make_train_step(gen, disc, cfg, loss_cfg,
                                              remat=True)
                 remat_active = True
-                state, metrics = train_step(state, batch)
+                final_steps.clear()
+                state, metrics = step_for(host_batch)(state, batch)
             timer.tick()
             if step_idx % cfg.log_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}
@@ -198,7 +213,7 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                            num_residual_blocks=model_cfg.num_residual_blocks):
                 print(f"new best epoch {epoch + 1}: val={val_loss:.4f}")
         ckpt.save_epoch_snapshots(saved_models_dir, epoch + 1, params_a2b,
-                                  params_b2a)
+                                  params_b2a, keep=cfg.checkpoint_keep)
         state = state.replace(
             epoch=jnp.asarray(epoch, jnp.int32),
             best_val_loss=jnp.asarray(best.best_val, jnp.float32),

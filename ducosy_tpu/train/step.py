@@ -58,8 +58,15 @@ def _forward_all(gen_apply, params_a2b, params_b2a, batch: Batch):
 
 def make_train_step(gen, disc, cfg: TrainConfig,
                     loss_cfg: LossConfig = LossConfig(), *,
-                    donate: bool = True, remat: bool = True):
+                    donate: bool = True, remat: bool = True,
+                    n_real: int | None = None):
     """Build the jitted (state, batch) -> (state, metrics) step.
+
+    When the batch carries a per-sample "weight" vector (a wrap-padded
+    final batch from HostLoader), pass the static count of real samples as
+    `n_real` and build a dedicated step for that batch shape: losses then
+    reproduce the ragged batch's values and gradients exactly (the padded
+    duplicates contribute nothing).
 
     remat wraps each generator forward in jax.checkpoint so the G step's six
     512^2 forwards keep only their boundary activations live and recompute
@@ -81,13 +88,15 @@ def make_train_step(gen, disc, cfg: TrainConfig,
             id_a=id_a, id_b=id_b,
             d_a_fake_logits=disc_apply(state.params_d_a, fake_a),
             d_b_fake_logits=disc_apply(state.params_d_b, fake_b),
-            cfg=cfg, loss_cfg=loss_cfg)
+            cfg=cfg, loss_cfg=loss_cfg,
+            sample_weight=batch.get("weight"), n_real=n_real)
         return terms.total, (terms, fake_a, fake_b)
 
-    def d_loss_fn(d_params, real, fake):
+    def d_loss_fn(d_params, real, fake, sample_weight):
         return discriminator_loss(
             disc_apply(d_params, real),
-            disc_apply(d_params, jax.lax.stop_gradient(fake)))
+            disc_apply(d_params, jax.lax.stop_gradient(fake)),
+            sample_weight)
 
     def step(state: CycleGANState, batch: Batch):
         # --- generator update (trainer.py:462-514) ---
@@ -99,13 +108,13 @@ def make_train_step(gen, disc, cfg: TrainConfig,
 
         # --- discriminator updates (trainer.py:516-525) ---
         d_a_loss, d_a_grads = jax.value_and_grad(d_loss_fn)(
-            state.params_d_a, batch["a"], fake_a)
+            state.params_d_a, batch["a"], fake_a, batch.get("weight"))
         d_a_updates, opt_d_a = tx.update(d_a_grads, state.opt_d_a,
                                          state.params_d_a)
         params_d_a = optax.apply_updates(state.params_d_a, d_a_updates)
 
         d_b_loss, d_b_grads = jax.value_and_grad(d_loss_fn)(
-            state.params_d_b, batch["b"], fake_b)
+            state.params_d_b, batch["b"], fake_b, batch.get("weight"))
         d_b_updates, opt_d_b = tx.update(d_b_grads, state.opt_d_b,
                                          state.params_d_b)
         params_d_b = optax.apply_updates(state.params_d_b, d_b_updates)
@@ -144,7 +153,7 @@ def make_val_step(gen, disc, cfg: TrainConfig):
             rec_a=rec_a, rec_b=rec_b, id_a=id_a, id_b=id_b,
             d_a_fake_logits=disc_apply(state.params_d_a, fake_a),
             d_b_fake_logits=disc_apply(state.params_d_b, fake_b),
-            cfg=cfg)
+            cfg=cfg, sample_weight=batch.get("weight"))
         return loss, fake_b
 
     return jax.jit(step)

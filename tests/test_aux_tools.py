@@ -143,3 +143,58 @@ def test_anonymize_dataset_strips_phi(tmp_path):
     assert str(ds.PatientName) == "Anonymized"
     assert ds.InstitutionName == "Anonymized"
     assert ds.StudyDate == "20000101"
+
+
+def test_fleet_interrupt_leaves_no_orphans(tmp_path):
+    """SIGTERM on a worker that registered signal handlers must kill its
+    registered external subprocess tree (masking.py:71-95 semantics)."""
+    import signal
+    import subprocess
+    import textwrap
+    import time
+
+    pidfile = tmp_path / "child.pid"
+    script = textwrap.dedent(f"""
+        import subprocess, sys, time
+        sys.path.insert(0, {repr(os.getcwd())})
+        from ducosy_tpu.masks import totalseg
+        totalseg.register_signal_handlers()
+        child = subprocess.Popen(["sleep", "600"])
+        totalseg._register_pid(child.pid)
+        open({repr(str(pidfile))}, "w").write(str(child.pid))
+        time.sleep(600)
+    """)
+    worker = subprocess.Popen([sys.executable, "-c", script])
+    try:
+        for _ in range(100):
+            if pidfile.exists() and pidfile.read_text().strip():
+                break
+            time.sleep(0.1)
+        else:
+            raise AssertionError("worker never spawned its subprocess")
+        child_pid = int(pidfile.read_text())
+        assert _alive(child_pid), "child should be running before SIGTERM"
+
+        worker.send_signal(signal.SIGTERM)
+        worker.wait(timeout=10)
+        deadline = time.time() + 5
+        while time.time() < deadline and _alive(child_pid):
+            time.sleep(0.1)
+        assert not _alive(child_pid), "external subprocess leaked"
+        assert worker.returncode == 128 + signal.SIGTERM
+    finally:
+        if worker.poll() is None:
+            worker.kill()
+        if pidfile.exists():
+            try:
+                os.kill(int(pidfile.read_text()), 9)
+            except (OSError, ValueError):
+                pass
+
+
+def _alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except OSError:
+        return False

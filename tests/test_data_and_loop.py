@@ -156,3 +156,32 @@ def test_loader_early_break_does_not_hang(synth_root):
         break  # consumer abandons mid-epoch; producer must wind down
     # a second epoch still works
     assert len(list(loader)) == 3
+
+
+def test_epoch_snapshot_retention(tmp_path):
+    """checkpoint_keep bounds per-epoch snapshot disk growth; best/last
+    snapshots are never pruned."""
+    from ducosy_tpu.train.checkpoint import save_epoch_snapshots
+
+    params = {"w": np.zeros((2, 2), np.float32)}
+    d = str(tmp_path)
+    # a best snapshot that must survive pruning
+    open(os.path.join(d, "G_A2B_best_epoch_1.npz"), "wb").write(b"x")
+    for epoch in range(1, 6):
+        save_epoch_snapshots(d, epoch, params, params, keep=2)
+    files = sorted(os.listdir(d))
+    kept = [f for f in files if "_epoch_" in f and "best" not in f]
+    assert sorted(kept) == ["G_A2B_epoch_4.npz", "G_A2B_epoch_5.npz",
+                            "G_B2A_epoch_4.npz", "G_B2A_epoch_5.npz"]
+    assert "G_A2B_best_epoch_1.npz" in files
+    assert "G_A2B_last.npz" in files and "G_B2A_last.npz" in files
+
+
+def test_epoch_snapshot_keep_zero_keeps_all(tmp_path):
+    from ducosy_tpu.train.checkpoint import save_epoch_snapshots
+
+    params = {"w": np.zeros((2,), np.float32)}
+    for epoch in range(1, 4):
+        save_epoch_snapshots(str(tmp_path), epoch, params, params, keep=0)
+    kept = [f for f in os.listdir(str(tmp_path)) if "_epoch_" in f]
+    assert len(kept) == 6

@@ -124,3 +124,90 @@ def test_data_parallel_step_matches_single_device(setup, rng):
     diff = np.abs(dp_leaf - ref_leaf)
     assert diff.max() < 2 * CFG.lr * 2
     assert np.mean(diff < 1e-5) > 0.99
+
+
+def test_padded_batch_matches_ragged_gradients(setup, rng):
+    """A wrap-padded batch with a "weight" vector must produce EXACTLY the
+    loss values and gradients of the corresponding ragged batch (the
+    reference's partial final DataLoader batch) — padded duplicates
+    contribute nothing. Gradients are compared directly because Adam
+    amplifies float-eps noise on near-zero gradients into lr-scale
+    parameter deltas."""
+    from ducosy_tpu.losses.suite import discriminator_loss, generator_loss
+
+    state, gen, disc = setup
+    n_real, n_pad = 5, 8
+    ragged = _batch(rng, n=n_real)
+    padded = {k: jnp.concatenate(
+        [v, v[: n_pad - n_real]], axis=0) for k, v in ragged.items()}
+    w = np.zeros(n_pad, np.float32)
+    w[:n_real] = 1.0
+    weight = jnp.asarray(w)
+
+    def g_loss(g_params, batch, sample_weight, n_r):
+        ga = lambda p, x: gen.apply({"params": p}, x)
+        da = lambda p, x: disc.apply({"params": p}, x)
+        inp_a = jnp.concatenate([batch["a"], batch["masks"]], -1)
+        inp_b = jnp.concatenate([batch["b"], batch["masks"]], -1)
+        fake_b = ga(g_params["a2b"], inp_a)
+        fake_a = ga(g_params["b2a"], inp_b)
+        id_a = ga(g_params["b2a"], inp_a)
+        id_b = ga(g_params["a2b"], inp_b)
+        rec_a = ga(g_params["b2a"],
+                   jnp.concatenate([fake_b, batch["masks"]], -1))
+        rec_b = ga(g_params["a2b"],
+                   jnp.concatenate([fake_a, batch["masks"]], -1))
+        terms = generator_loss(
+            real_a=batch["a"], real_b=batch["b"], fake_a=fake_a,
+            fake_b=fake_b, rec_a=rec_a, rec_b=rec_b, id_a=id_a, id_b=id_b,
+            d_a_fake_logits=da(state.params_d_a, fake_a),
+            d_b_fake_logits=da(state.params_d_b, fake_b),
+            cfg=CFG, sample_weight=sample_weight, n_real=n_r)
+        return terms.total
+
+    g_params = {"a2b": state.params_g_a2b, "b2a": state.params_g_b2a}
+    loss_r, grads_r = jax.value_and_grad(g_loss)(g_params, ragged, None, None)
+    loss_p, grads_p = jax.value_and_grad(g_loss)(g_params, padded, weight,
+                                                 n_real)
+    np.testing.assert_allclose(float(loss_p), float(loss_r), rtol=1e-5)
+    for lr_, lp_ in zip(jax.tree_util.tree_leaves(grads_r),
+                        jax.tree_util.tree_leaves(grads_p)):
+        np.testing.assert_allclose(np.asarray(lp_), np.asarray(lr_),
+                                   rtol=1e-4, atol=2e-6)
+
+    def d_loss(d_params, batch, fake, sample_weight):
+        da = lambda p, x: disc.apply({"params": p}, x)
+        return discriminator_loss(da(d_params, batch),
+                                  da(d_params, fake), sample_weight)
+
+    fake_r = jnp.asarray(rng.uniform(-1, 1, (n_real, IMG, IMG, 1)),
+                         jnp.float32)
+    fake_p = jnp.concatenate([fake_r, fake_r[: n_pad - n_real]], axis=0)
+    dl_r, dg_r = jax.value_and_grad(d_loss)(state.params_d_a, ragged["a"],
+                                            fake_r, None)
+    dl_p, dg_p = jax.value_and_grad(d_loss)(state.params_d_a, padded["a"],
+                                            fake_p, weight)
+    np.testing.assert_allclose(float(dl_p), float(dl_r), rtol=1e-5)
+    for lr_, lp_ in zip(jax.tree_util.tree_leaves(dg_r),
+                        jax.tree_util.tree_leaves(dg_p)):
+        np.testing.assert_allclose(np.asarray(lp_), np.asarray(lr_),
+                                   rtol=1e-4, atol=2e-6)
+
+
+def test_loader_emits_weight_on_final_batch():
+    from ducosy_tpu.data.loader import HostLoader
+
+    class Toy:
+        def __len__(self):
+            return 10  # 10 % 4 = 2 -> final batch has 2 real + 2 padded
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32)}
+
+    loader = HostLoader(Toy(), 4, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 3
+    assert "weight" not in batches[0] and "weight" not in batches[1]
+    np.testing.assert_array_equal(batches[2]["weight"],
+                                  [1.0, 1.0, 0.0, 0.0])
+    assert batches[2]["x"].shape == (4, 3)
