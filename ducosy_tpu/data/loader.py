@@ -23,7 +23,14 @@ import numpy as np
 class HostLoader:
     def __init__(self, dataset, batch_size: int, *, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 8, prefetch: int = 2,
-                 drop_last: bool = False, pad_final: bool = True):
+                 drop_last: bool = False, pad_final: bool = True,
+                 shard: tuple[int, int] | None = None):
+        """`batch_size` is the GLOBAL batch. With `shard=(i, n)` (multi-host
+        data parallelism) this loader decodes only rows [i*b/n, (i+1)*b/n)
+        of every global batch — each host feeds its own devices and
+        `parallel.global_shard_batch` assembles the global array. The epoch
+        order, padding, and weights are derived from the same seed on every
+        host, so shards are consistent by construction."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -32,13 +39,38 @@ class HostLoader:
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
         self.pad_final = pad_final
+        if shard is not None:
+            idx, count = shard
+            if batch_size % count != 0:
+                raise ValueError(f"global batch {batch_size} not divisible "
+                                 f"by {count} processes")
+            if not 0 <= idx < count:
+                raise ValueError(f"shard index {idx} out of range({count})")
+        self.shard = shard
         self._epoch = 0
+
+    @property
+    def final_n_real(self) -> int | None:
+        """GLOBAL number of real samples in the wrap-padded final batch, or
+        None when every batch is full (the static n_real for the weighted
+        train step — identical on all hosts)."""
+        if self.drop_last or not self.pad_final:
+            return None
+        rem = len(self.dataset) % self.batch_size
+        return rem if rem else None
 
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
+
+    def _local_rows(self) -> slice:
+        if self.shard is None:
+            return slice(None)
+        idx, count = self.shard
+        local = self.batch_size // count
+        return slice(idx * local, (idx + 1) * local)
 
     def _index_order(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
@@ -66,6 +98,8 @@ class HostLoader:
                     chunk = np.concatenate([chunk, pad])
             batches.append((chunk, n_real))
 
+        rows = self._local_rows()
+
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
         error: list = []
@@ -76,16 +110,18 @@ class HostLoader:
                     for chunk, n_real in batches:
                         if stop.is_set():
                             return
+                        padded = n_real < len(chunk)
+                        local = chunk[rows]
                         samples = list(pool.map(self.dataset.__getitem__,
-                                                chunk))
+                                                local))
                         batch = {
                             k: np.stack([s[k] for s in samples])
                             for k in samples[0]
                         }
-                        if n_real < len(chunk):
+                        if padded:
                             w = np.zeros(len(chunk), np.float32)
                             w[:n_real] = 1.0
-                            batch["weight"] = w
+                            batch["weight"] = w[rows]
                         out_q.put(batch)
             except BaseException as e:  # propagate to the consumer
                 error.append(e)

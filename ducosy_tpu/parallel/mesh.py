@@ -43,10 +43,54 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
     """Device-put a host batch (pytree of arrays) with the leading axis
-    sharded over the mesh — the per-host input feed."""
+    sharded over the mesh — the single-process input feed."""
     def _put(x):
         return jax.device_put(x, batch_sharding(mesh, np.ndim(x)))
     return jax.tree_util.tree_map(_put, batch)
+
+
+def mesh_process_count(mesh: Mesh) -> int:
+    """Number of distinct processes whose devices participate in the mesh."""
+    return len({d.process_index for d in mesh.devices.flat})
+
+
+def process_row_slice(mesh: Mesh, global_batch: int) -> slice:
+    """The rows of a batch-sharded global array that this process's devices
+    own under `batch_sharding` (contiguous for the standard device order).
+
+    This is the per-host input-feed contract: each host loads only these
+    rows and assembles the global array with `global_shard_batch`."""
+    devs = list(mesh.devices.flat)
+    if global_batch % len(devs) != 0:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{len(devs)} mesh devices")
+    rows = global_batch // len(devs)
+    pos = [i for i, d in enumerate(devs)
+           if d.process_index == jax.process_index()]
+    if not pos:
+        raise ValueError("this process has no devices in the mesh")
+    if pos != list(range(pos[0], pos[0] + len(pos))):
+        raise ValueError("this process's mesh devices are not contiguous; "
+                         "build the mesh from jax.devices() order")
+    return slice(pos[0] * rows, (pos[-1] + 1) * rows)
+
+
+def global_shard_batch(mesh: Mesh, local_batch: Any) -> Any:
+    """Assemble globally batch-sharded arrays from each process's local rows
+    (jax.make_array_from_process_local_data). With one process this is
+    exactly `shard_batch`. The multi-host data-parallel input feed: hosts
+    load disjoint row ranges (see `process_row_slice` / HostLoader's
+    `shard`), XLA all-reduces gradients over ICI/DCN."""
+    if mesh_process_count(mesh) == 1:
+        return shard_batch(mesh, local_batch)
+    n_proc = mesh_process_count(mesh)
+
+    def _put(x):
+        sharding = batch_sharding(mesh, np.ndim(x))
+        global_shape = (x.shape[0] * n_proc,) + tuple(x.shape[1:])
+        return jax.make_array_from_process_local_data(
+            sharding, np.asarray(x), global_shape)
+    return jax.tree_util.tree_map(_put, local_batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

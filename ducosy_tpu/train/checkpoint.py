@@ -120,10 +120,16 @@ class BestTracker:
         self.best_epoch = -1
 
     def update(self, epoch1: int, val_loss: float, params_a2b, params_b2a,
-               *, export_pth: bool = False, num_residual_blocks: int = 9
-               ) -> bool:
+               *, export_pth: bool = False, num_residual_blocks: int = 9,
+               write: bool = True) -> bool:
+        """Track the best epoch; `write=False` (non-primary hosts in a
+        multi-host run) updates the bookkeeping without touching disk."""
         if val_loss >= self.best_val:
             return False
+        if not write:
+            self.best_val = val_loss
+            self.best_epoch = epoch1
+            return True
         if self.best_epoch != -1:
             for stem in ("G_A2B", "G_B2A"):
                 for ext in (".npz", ".pth"):

@@ -32,7 +32,12 @@ from ducosy_tpu.config import (
 )
 from ducosy_tpu.data import HostLoader, SlicePairDataset, list_patient_dirs, train_val_split
 from ducosy_tpu.ops import hu as hu_ops
-from ducosy_tpu.parallel import data_mesh, replicate, shard_batch
+from ducosy_tpu.parallel import (
+    data_mesh,
+    global_shard_batch,
+    mesh_process_count,
+    replicate,
+)
 from ducosy_tpu.train import checkpoint as ckpt
 from ducosy_tpu.train.schedule import lr_for_epoch
 from ducosy_tpu.train.state import create_state
@@ -42,7 +47,18 @@ from ducosy_tpu.utils.logging import MetricsLogger, StepTimer
 
 
 def _to_device_batch(mesh, batch: Dict[str, np.ndarray]):
-    return shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+    # single-process: device_put with batch sharding; multi-host: assemble
+    # the global array from this process's rows (the per-host input feed)
+    return global_shard_batch(mesh, batch)
+
+
+def _local_rows(arr) -> np.ndarray:
+    """Host-local rows of a (possibly globally sharded) batch array."""
+    if hasattr(arr, "addressable_shards"):
+        shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start
+                        if s.index and s.index[0].start else 0)
+        return np.concatenate([np.asarray(s.data) for s in shards])
+    return np.asarray(arr)
 
 
 def train_cycle_gan(cfg: TrainConfig, target_range: str,
@@ -98,15 +114,21 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
     if len(train_ds) == 0:
         raise RuntimeError(
             f"no training slice pairs under {cfg.data_root}/{cfg.dataset_names}")
+    mesh = mesh or data_mesh(num_devices)
+    n_proc = mesh_process_count(mesh)
+    is_primary = jax.process_index() == 0
+    # multi-host DP: every process derives the same epoch order from the
+    # shared seed and decodes only its own rows of each global batch
+    shard = ((jax.process_index(), n_proc) if n_proc > 1 else None)
     loader = HostLoader(train_ds, cfg.batch_size, shuffle=True,
-                        seed=cfg.split_seed, num_workers=cfg.num_workers)
+                        seed=cfg.split_seed, num_workers=cfg.num_workers,
+                        shard=shard)
     val_loader = HostLoader(val_ds, cfg.batch_size * 2, shuffle=False,
-                            num_workers=cfg.num_workers) \
+                            num_workers=cfg.num_workers, shard=shard) \
         if len(val_ds) else None
     fixed_val_batch = next(iter(val_loader)) if val_loader else None
     print(f"Train/Val split: {len(train_ds)} / {len(val_ds)} slices")
 
-    mesh = mesh or data_mesh(num_devices)
     state = replicate(mesh, state)
     train_step = make_train_step(gen, disc, cfg, loss_cfg,
                                  remat=(cfg.remat == "on"))
@@ -120,14 +142,15 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
     def step_for(host_batch):
         if "weight" not in host_batch:
             return train_step
-        n_real = int(host_batch["weight"].sum())
+        n_real = loader.final_n_real  # GLOBAL real count, same on all hosts
         if n_real not in final_steps:
             final_steps[n_real] = make_train_step(
                 gen, disc, cfg, loss_cfg, remat=remat_active,
                 n_real=n_real)
         return final_steps[n_real]
 
-    logger = MetricsLogger(os.path.join(training_dir, "metrics.jsonl"))
+    logger = MetricsLogger(os.path.join(training_dir, "metrics.jsonl")
+                           if is_primary else None)
     epochs = min(cfg.epochs, start_epoch + max_epochs) if max_epochs \
         else cfg.epochs
     last_metrics: Dict[str, float] = {}
@@ -197,29 +220,34 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
 
             _, fake_b = val_step(state,
                                  _to_device_batch(mesh, fixed_val_batch))
-            win = lambda x: np.asarray(hu_ops.apply_windowing(
-                jnp.asarray(x), range_cfg.hu_min, range_cfg.hu_max,
-                range_cfg.window_center, range_cfg.window_width))
-            save_comparison_grid(
-                os.path.join(images_dir, f"epoch_{epoch + 1}.jpg"),
-                win(fixed_val_batch["a"]), win(np.asarray(fake_b)),
-                win(fixed_val_batch["b"]))
+            if is_primary:
+                win = lambda x: np.asarray(hu_ops.apply_windowing(
+                    jnp.asarray(x), range_cfg.hu_min, range_cfg.hu_max,
+                    range_cfg.window_center, range_cfg.window_width))
+                save_comparison_grid(
+                    os.path.join(images_dir, f"epoch_{epoch + 1}.jpg"),
+                    win(fixed_val_batch["a"]), win(_local_rows(fake_b)),
+                    win(fixed_val_batch["b"]))
 
         # ---- snapshots + full checkpoint (trainer.py:549-597)
         params_a2b = jax.device_get(state.params_g_a2b)
         params_b2a = jax.device_get(state.params_g_b2a)
         if val_loader is not None and np.isfinite(val_loss):
             if best.update(epoch + 1, val_loss, params_a2b, params_b2a,
-                           num_residual_blocks=model_cfg.num_residual_blocks):
+                           num_residual_blocks=model_cfg.num_residual_blocks,
+                           write=is_primary):
                 print(f"new best epoch {epoch + 1}: val={val_loss:.4f}")
-        ckpt.save_epoch_snapshots(saved_models_dir, epoch + 1, params_a2b,
-                                  params_b2a, keep=cfg.checkpoint_keep)
+        if is_primary:  # params are replicated; one host persists them
+            ckpt.save_epoch_snapshots(saved_models_dir, epoch + 1,
+                                      params_a2b, params_b2a,
+                                      keep=cfg.checkpoint_keep)
         state = state.replace(
             epoch=jnp.asarray(epoch, jnp.int32),
             best_val_loss=jnp.asarray(best.best_val, jnp.float32),
             best_epoch=jnp.asarray(best.best_epoch, jnp.int32))
-        ckpt.save_checkpoint(os.path.join(saved_models_dir, "checkpoint"),
-                             state)
+        if is_primary:
+            ckpt.save_checkpoint(os.path.join(saved_models_dir,
+                                              "checkpoint"), state)
         logger.log({"epoch": epoch + 1, "val_loss": val_loss, "lr": lr,
                     **{f"train_{k}": v for k, v in last_metrics.items()}},
                    force_print=True)
