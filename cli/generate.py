@@ -164,11 +164,71 @@ def process_patient(engine, args, patient_dir, working_dir, output_dir):
                                    intercept, chunk=args.slice_batch)
         desc = "DuCoSyGAN sCECT v2"
 
+    _write_final(datasets, final, dtype, out_patient, desc)
+    return True
+
+
+def _write_final(datasets, final, dtype, out_patient, desc):
     for idx, src in enumerate(datasets):
         out_ds = src.copy()
         _final_tags(out_ds, final[idx].astype(dtype), desc)
         out_ds.save_as(os.path.join(out_patient, f"{idx:04d}.dcm"))
-    return True
+
+
+def _load_patient(args, patient_dir):
+    ncct_path = os.path.join(patient_dir, args.ncct_folder)
+    if not os.path.isdir(ncct_path):
+        return None
+    files, datasets = _read_series(ncct_path)
+    if not files:
+        return None
+    slope = float(datasets[0].get("RescaleSlope", 1.0))
+    intercept = float(datasets[0].get("RescaleIntercept", 0.0))
+    volume = np.stack([ds.pixel_array for ds in datasets])
+    return files, datasets, volume, slope, intercept
+
+
+def run_fast_pipeline(engine, args, patients, output_dir) -> int:
+    """Pipelined fast path: while patient N computes on device, patient
+    N+1's DICOM decode and conditioning-mask generation (host scipy) run in
+    background threads, and patient N-1's result downloads/writes — so the
+    chip never waits on the host (VERDICT round 1: mask-conditioned
+    checkpoints must stay within ~15% of unconditioned throughput)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    done = 0
+    with ThreadPoolExecutor(2, thread_name_prefix="io") as io_pool:
+        loads = {p: io_pool.submit(_load_patient, args, p)
+                 for p in patients[:2]}
+        inflight = []  # (patient_dir, datasets, dtype, out_patient, device_out)
+        for i, pdir in enumerate(patients):
+            if i + 2 < len(patients):
+                nxt = patients[i + 2]
+                loads[nxt] = io_pool.submit(_load_patient, args, nxt)
+            data = loads.pop(pdir).result()
+            if data is None:
+                continue
+            files, datasets, volume, slope, intercept = data
+            mask_fut = engine.prefetch_masks(volume.astype(np.float32),
+                                             slope, intercept)
+            out = engine.run_patient_async(
+                volume.astype(np.float32), slope, intercept,
+                chunk=args.slice_batch, masks=mask_fut)
+            out_patient = os.path.join(output_dir, os.path.basename(pdir))
+            os.makedirs(out_patient, exist_ok=True)
+            inflight.append((pdir, datasets, volume.dtype, out_patient, out))
+            while len(inflight) > 1:  # drain older patients
+                pd, dss, dt, outp, dev = inflight.pop(0)
+                _write_final(dss, np.asarray(dev), dt, outp,
+                             "DuCoSyGAN sCECT v2")
+                done += 1
+                print(f"  done {os.path.basename(pd)}")
+        for pd, dss, dt, outp, dev in inflight:
+            _write_final(dss, np.asarray(dev), dt, outp,
+                         "DuCoSyGAN sCECT v2")
+            done += 1
+            print(f"  done {os.path.basename(pd)}")
+    return done
 
 
 def main(argv=None):
@@ -183,10 +243,14 @@ def main(argv=None):
         patients = sorted(d for d in glob.glob(os.path.join(input_dir, "*"))
                           if os.path.isdir(d))
         print(f"dataset {dataset_name}: {len(patients)} patients")
-        for pdir in patients:
-            if process_patient(engine, args, pdir, working_dir, output_dir):
-                total += 1
-                print(f"  done {os.path.basename(pdir)}")
+        if args.write_working:
+            for pdir in patients:
+                if process_patient(engine, args, pdir, working_dir,
+                                   output_dir):
+                    total += 1
+                    print(f"  done {os.path.basename(pdir)}")
+        else:
+            total += run_fast_pipeline(engine, args, patients, output_dir)
     print(f"generation+synthesis complete: {total} patients")
 
 

@@ -46,10 +46,13 @@ class DualGeneratorEngine:
                  lung_range: RangeConfig = LUNG,
                  model_cfg: ModelConfig = ModelConfig(),
                  img_size: int = 512, compute_dtype=jnp.bfloat16,
-                 fused_norm: bool | None = None, mesh=None):
-        if fused_norm is None:  # default: Pallas IN kernel on real TPU
-            from ducosy_tpu.ops.pallas import pallas_available
-            fused_norm = pallas_available()
+                 fused_norm: bool = False, mesh=None):
+        # fused_norm routes InstanceNorm through the Pallas kernel. Round-1
+        # measurements had it +17% on this pipeline; the libtpu/XLA upgrade
+        # since then improved XLA's own IN fusion and flipped the A/B
+        # (75 vs 63.5 slices/s compute-bound at chunk 32) — so plain XLA is
+        # now the default and the kernel stays available for toolchains
+        # where it wins. Always re-A/B after a toolchain change.
         # optional 1-D data mesh: shards each chunk's slice batch across
         # devices inside the fused patient program
         self.mesh = mesh
@@ -68,23 +71,31 @@ class DualGeneratorEngine:
         self.st_channels, self.lung_channels = st_ch, lung_ch
         self.use_masks = st_ch > 1 or lung_ch > 1
 
-        def build(in_ch):
+        def n_blocks(params):
+            # introspect the trunk depth from the checkpoint itself (the
+            # reference's loaders do the same for its aux model,
+            # modules/nmodel/inference.py:17-62)
+            blocks = [int(k[5:]) for k in params if k.startswith("block")]
+            return max(blocks) + 1 if blocks else 0
+
+        def build(in_ch, params):
             return Generator(
                 input_channels=in_ch,
-                num_residual_blocks=model_cfg.num_residual_blocks,
-                base_channels=model_cfg.base_channels,
-                use_cbam=True,
+                num_residual_blocks=n_blocks(params),
+                base_channels=int(
+                    np.shape(params["stem"]["kernel"])[3]),
+                use_cbam="ca" in params.get("block0", {}),
                 dtype=compute_dtype,
                 fused_norm=fused_norm,
             )
 
         if not self.use_masks:
             # fused path: identical trees -> stack + vmap, one XLA program
-            self.generator = build(1)
+            self.generator = build(1, st_params)
             self.params = _stack_params(st_params, lung_params)
         else:
-            self.st_generator = build(st_ch)
-            self.lung_generator = build(lung_ch)
+            self.st_generator = build(st_ch, st_params)
+            self.lung_generator = build(lung_ch, lung_params)
             self.params = {
                 "st": jax.tree_util.tree_map(jnp.asarray, st_params),
                 "lung": jax.tree_util.tree_map(jnp.asarray, lung_params),
@@ -230,13 +241,34 @@ class DualGeneratorEngine:
             sharpen_amount=sharpen_amount, sharpen_radius=sharpen_radius)
         return np.asarray(out)
 
+    def prefetch_masks(self, stored_volume: np.ndarray, slope: float,
+                       intercept: float):
+        """Start computing the conditioning masks (host scipy geometry) in a
+        background thread; pass the returned future to run_patient_async's
+        `masks=` so mask generation for patient N+1 overlaps device compute
+        of patient N instead of serializing with it. No-op (returns None)
+        for unconditioned checkpoints."""
+        if not self.use_masks:
+            return None
+        if not hasattr(self, "_mask_pool"):
+            from concurrent.futures import ThreadPoolExecutor
+            self._mask_pool = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="mask-prefetch")
+        vol = np.ascontiguousarray(stored_volume)
+        return self._mask_pool.submit(self._host_masks, vol, slope,
+                                      intercept)
+
     def run_patient_async(self, stored_volume: np.ndarray, slope: float,
                           intercept: float, *, chunk: int = 32,
                           pre_z_sigma: float = 0.8, sigma_z: float = 0.7,
                           sigma_xy: float = 0.05, sharpen_amount: float = 1.7,
-                          sharpen_radius: float = 1.2):
+                          sharpen_radius: float = 1.2, masks=None):
         """Like run_patient but returns the device array without blocking, so
         callers can pipeline patients (upload N+1 while N computes).
+
+        `masks` may be a prefetch_masks future (or its dict result) computed
+        from the SAME unpadded volume; when omitted, mask-conditioned
+        engines compute them synchronously here.
 
         When the engine was built with a mesh (see __init__), the slice batch
         inside each chunk is sharded across devices: each of the N chips runs
@@ -252,10 +284,18 @@ class DualGeneratorEngine:
         stored = np.concatenate(
             [stored_volume, stored_volume[-1:].repeat(pad, axis=0)]
         ) if pad else stored_volume
-        masks = None
         if self.use_masks:
-            masks = {k: jnp.asarray(v.astype(np.int8)) for k, v in
-                     self._host_masks(stored, slope, intercept).items()}
+            if masks is None:
+                masks = self._host_masks(stored_volume, slope, intercept)
+            elif hasattr(masks, "result"):  # a prefetch_masks future
+                masks = masks.result()
+            if pad:  # padded slices are copies of the last -> copy its mask
+                masks = {k: np.concatenate([v, v[-1:].repeat(pad, axis=0)])
+                         for k, v in masks.items()}
+            masks = {k: jnp.asarray(np.asarray(v).astype(np.int8))
+                     for k, v in masks.items()}
+        else:
+            masks = None
         # upload in the narrow integer dtype (half the bytes over the host
         # link); widened to f32 on device inside the jit
         device_vol = jnp.asarray(stored)

@@ -25,6 +25,24 @@ import jax.numpy as jnp
 EPS = 1e-5
 
 
+def reflect_pad_hw(a, p: int, h_axis: int = 0):
+    """Reflect-pad axes (h_axis, h_axis+1) by p, Mosaic-lowerable: built
+    from single-row/col slices + concat (jnp.pad's reflect mode lowers to
+    `rev`, which Pallas TPU does not implement)."""
+    if p == 0:
+        return a
+
+    def _pad_axis(x, axis):
+        n = x.shape[axis]
+        sl = lambda i: tuple(slice(i, i + 1) if d == axis else slice(None)
+                             for d in range(x.ndim))
+        top = [x[sl(i)] for i in range(p, 0, -1)]
+        bot = [x[sl(n - 2 - i)] for i in range(p)]
+        return jnp.concatenate(top + [x] + bot, axis=axis)
+
+    return _pad_axis(_pad_axis(a, h_axis), h_axis + 1)
+
+
 def pallas_available() -> bool:
     """Pallas TPU kernels need a real TPU backend (interpret mode works
     anywhere but is for testing)."""
@@ -34,7 +52,7 @@ def pallas_available() -> bool:
         return False
 
 
-def _kernel(x_ref, o_ref, *, relu: bool, eps: float):
+def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int):
     x = x_ref[...]                               # (1, H, W, Cb), io dtype
     count = x.shape[0] * x.shape[1] * x.shape[2]
     # fp32 ACCUMULATION without materializing an fp32 copy of the block
@@ -48,15 +66,22 @@ def _kernel(x_ref, o_ref, *, relu: bool, eps: float):
     y = (x - mean.astype(x.dtype)) * scale.astype(x.dtype)
     if relu:
         y = jnp.maximum(y, jnp.zeros((), x.dtype))
+    if pad:
+        # fold the following ReflectionPad2d into the output write: one HBM
+        # traversal instead of a separate pad op (each pad measured as
+        # costly as a 3x3 conv at trunk shape — docs/PERF.md)
+        y = reflect_pad_hw(y, pad, h_axis=1)
     o_ref[...] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("relu", "eps", "block_c", "interpret"))
+                   static_argnames=("relu", "eps", "block_c", "interpret",
+                                    "pad"))
 def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
                          eps: float = EPS, block_c: int = 128,
-                         interpret: bool = False) -> jax.Array:
-    """InstanceNorm over H, W of an NHWC tensor, optionally fused with ReLU.
+                         interpret: bool = False, pad: int = 0) -> jax.Array:
+    """InstanceNorm over H, W of an NHWC tensor, optionally fused with ReLU
+    and a trailing reflect-pad of `pad` pixels (output (N, H+2p, W+2p, C)).
 
     Falls back to requiring C % block_c == 0 or C <= block_c (then one block
     covers all channels)."""
@@ -69,15 +94,16 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
         bc = c  # degenerate channel counts: one block over all channels
 
     grid = (n, c // bc)
+    out_shape = (n, h + 2 * pad, w + 2 * pad, c)
     return pl.pallas_call(
-        functools.partial(_kernel, relu=relu, eps=eps),
-        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        functools.partial(_kernel, relu=relu, eps=eps, pad=pad),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((1, h, w, bc),
                                lambda i, j: (i, 0, 0, j),
                                memory_space=pltpu.ANY
                                if interpret else pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, h, w, bc),
+        out_specs=pl.BlockSpec((1, h + 2 * pad, w + 2 * pad, bc),
                                lambda i, j: (i, 0, 0, j),
                                memory_space=pltpu.ANY
                                if interpret else pltpu.VMEM),
@@ -95,43 +121,71 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
 import jax.numpy as _jnp
 
 
-def _xla_forward(x, relu, eps):
+def _xla_forward(x, relu, eps, pad=0):
     x32 = x.astype(_jnp.float32)
     mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     y = (x32 - mean) * jax.lax.rsqrt(var + eps)
     if relu:
         y = _jnp.maximum(y, 0.0)
-    return y.astype(x.dtype), var
+    y = y.astype(x.dtype)
+    if pad:
+        y = _jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     mode="reflect")
+    return y, var
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
-def instance_norm_fused(x, relu: bool = False, eps: float = EPS):
-    """InstanceNorm(+ReLU) — Pallas kernel on TPU, XLA elsewhere; supports
-    reverse-mode AD via an analytic backward pass."""
+def reflect_pad_adjoint(g, pad: int):
+    """Adjoint of jnp.pad(..., mode='reflect') on the H/W axes of NHWC:
+    border gradients fold back onto their reflected interior rows/cols."""
+    if pad == 0:
+        return g
+    p = pad
+
+    def fold(gr, axis):
+        n = gr.shape[axis]
+        sl = lambda a, b: tuple(
+            slice(a, b) if d == axis else slice(None) for d in range(gr.ndim))
+        core = gr[sl(p, n - p)]
+        top = _jnp.flip(gr[sl(0, p)], axis=axis)
+        bot = _jnp.flip(gr[sl(n - p, n)], axis=axis)
+        h = core.shape[axis]
+        core = core.at[sl(1, p + 1)].add(top)
+        core = core.at[sl(h - 1 - p, h - 1)].add(bot)
+        return core
+
+    return fold(fold(g, 1), 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def instance_norm_fused(x, relu: bool = False, eps: float = EPS,
+                        pad: int = 0):
+    """InstanceNorm(+ReLU)(+reflect-pad) — Pallas kernel on TPU, XLA
+    elsewhere; supports reverse-mode AD via an analytic backward pass."""
     if pallas_available():
-        return instance_norm_pallas(x, relu=relu, eps=eps)
-    return _xla_forward(x, relu, eps)[0]
+        return instance_norm_pallas(x, relu=relu, eps=eps, pad=pad)
+    return _xla_forward(x, relu, eps, pad)[0]
 
 
-def _fwd(x, relu, eps):
-    y = instance_norm_fused(x, relu, eps)
+def _fwd(x, relu, eps, pad):
+    y = instance_norm_fused(x, relu, eps, pad)
     return y, x  # save the input; backward recomputes exact fp32 stats
 
 
-def _bwd(relu, eps, x, g):
+def _bwd(relu, eps, pad, x, g):
+    g = reflect_pad_adjoint(g.astype(_jnp.float32), pad)
     x32 = x.astype(_jnp.float32)
     mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     y_pre = (x32 - mean) * inv            # pre-ReLU normalized value
-    g32 = g.astype(_jnp.float32)
+    g32 = g
     if relu:
         g32 = g32 * (y_pre > 0)           # ReLU mask on the output grad
     mg = _jnp.mean(g32, axis=(1, 2), keepdims=True)
     mgy = _jnp.mean(g32 * y_pre, axis=(1, 2), keepdims=True)
     dx = (g32 - mg - y_pre * mgy) * inv
-    return (dx.astype(g.dtype),)
+    return (dx.astype(x.dtype),)
 
 
 instance_norm_fused.defvjp(_fwd, _bwd)

@@ -66,3 +66,116 @@ def test_fused_forward_cpu_fallback(rng):
     y = instance_norm_fused(x)
     np.testing.assert_allclose(np.asarray(y), np.asarray(instance_norm(x)),
                                rtol=1e-5, atol=1e-6)
+
+
+def _ref_pad(y, pad):
+    return np.pad(np.asarray(y), ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                  mode="reflect")
+
+
+def test_interpret_pad_fold(rng):
+    """IN+ReLU with the reflect-pad folded into the output write."""
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 128)), jnp.float32)
+    y = instance_norm_pallas(x, relu=True, pad=1, interpret=True)
+    ref = _ref_pad(np.maximum(np.asarray(instance_norm(x)), 0), 1)
+    assert y.shape == (2, 14, 14, 128)
+    np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_pad_fold_backward_matches_autodiff(rng):
+    from ducosy_tpu.models.layers import reflect_pad
+
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, 4)), jnp.float32)
+    tangent = jnp.asarray(rng.standard_normal((2, 12, 12, 4)), jnp.float32)
+
+    def ref_loss(v):
+        return jnp.sum(reflect_pad(jnp.maximum(instance_norm(v), 0.0), 1)
+                       * tangent)
+
+    def fused_loss(v):
+        return jnp.sum(instance_norm_fused(v, True, 1e-5, 1) * tangent)
+
+    g_ref = jax.grad(ref_loss)(x)
+    g_fused = jax.grad(fused_loss)(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-5)
+
+
+# ------------------------------------------------------ fused block tail
+def _tail_params(rng, c=256, r=16):
+    w1 = jnp.asarray(rng.standard_normal((c, r)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((r, c)) * 0.1, jnp.float32)
+    wsa = jnp.asarray(rng.standard_normal((7, 7, 2, 1)) * 0.1, jnp.float32)
+    return w1, w2, wsa
+
+
+def _module_tail(h, x, w1, w2, wsa):
+    """The exact Flax composition the kernel replaces: IN -> CA -> SA ->
+    skip add (models/generator.py ResidualBlock tail)."""
+    from ducosy_tpu.models.generator import ChannelAttention, SpatialAttention
+
+    y = instance_norm(h)
+    ca = ChannelAttention(h.shape[-1])
+    y = ca.apply({"params": {"fc1": {"kernel": w1}, "fc2": {"kernel": w2}}},
+                 y)
+    sa = SpatialAttention()
+    y = sa.apply({"params": {"conv": {"kernel": wsa}}}, y)
+    return x + y
+
+
+def test_block_tail_interpret_matches_module(rng):
+    from ducosy_tpu.ops.pallas.cbam_block import block_tail_pallas
+
+    c = 256
+    h = jnp.asarray(rng.standard_normal((2, 12, 12, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, c)), jnp.float32)
+    w1, w2, wsa = _tail_params(rng, c)
+    ref = _module_tail(h, x, w1, w2, wsa)
+    out = block_tail_pallas(h, x, w1, w2, wsa, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_block_tail_pad_interpret(rng):
+    from ducosy_tpu.ops.pallas.cbam_block import block_tail_pallas
+
+    c = 128
+    h = jnp.asarray(rng.standard_normal((1, 10, 10, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 10, 10, c)), jnp.float32)
+    w1, w2, wsa = _tail_params(rng, c, r=8)
+    ref = _ref_pad(_module_tail(h, x, w1, w2, wsa), 1)
+    out = block_tail_pallas(h, x, w1, w2, wsa, pad=1, interpret=True)
+    assert out.shape == (1, 12, 12, c)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=2e-4, atol=2e-5)
+
+
+def test_block_tail_xla_fallback_and_grad(rng):
+    """CPU path: forward equals the module composition; gradients flow to
+    every input (incl. the attention weights) and match autodiff of the
+    module tail."""
+    from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
+
+    c = 64
+    h = jnp.asarray(rng.standard_normal((2, 8, 8, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, c)), jnp.float32)
+    w1, w2, wsa = _tail_params(rng, c, r=4)
+    tangent = jnp.asarray(rng.standard_normal((2, 10, 10, c)), jnp.float32)
+
+    out = block_tail_fused(h, x, w1, w2, wsa)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_module_tail(h, x, w1, w2, wsa)),
+                               rtol=2e-4, atol=2e-5)
+
+    def fused_loss(*args):
+        from ducosy_tpu.ops.pallas.instance_norm import EPS
+        return jnp.sum(block_tail_fused(*args, EPS, 1) * tangent)
+
+    def ref_loss(*args):
+        from ducosy_tpu.models.layers import reflect_pad
+        return jnp.sum(reflect_pad(_module_tail(*args), 1) * tangent)
+
+    g_fused = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(h, x, w1, w2, wsa)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(h, x, w1, w2, wsa)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
