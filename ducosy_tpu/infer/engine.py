@@ -46,7 +46,8 @@ class DualGeneratorEngine:
                  lung_range: RangeConfig = LUNG,
                  model_cfg: ModelConfig = ModelConfig(),
                  img_size: int = 512, compute_dtype=jnp.bfloat16,
-                 fused_norm: bool = False, mesh=None):
+                 fused_norm: bool = False, mesh=None,
+                 forward: str = "auto"):
         # fused_norm routes InstanceNorm through the Pallas kernel. Round-1
         # measurements had it +17% on this pipeline; the libtpu/XLA upgrade
         # since then improved XLA's own IN fusion and flipped the A/B
@@ -100,6 +101,17 @@ class DualGeneratorEngine:
                 "st": jax.tree_util.tree_map(jnp.asarray, st_params),
                 "lung": jax.tree_util.tree_map(jnp.asarray, lung_params),
             }
+        # "packed": the space-to-depth generator forward (models/fused.py,
+        # exact to bf16 rounding) — +49% single-model throughput at 512^2
+        # (59.4 -> 39.9 ms for batch 8; docs/PERF.md round 2). "auto" uses
+        # it on a real TPU whenever the model grid divides by 4 (on CPU the
+        # canonical Flax apply is faster); "module"/"packed" force a path.
+        if forward == "auto":
+            from ducosy_tpu.ops.pallas import pallas_available
+            forward = "packed" if (img_size % 4 == 0 and
+                                   pallas_available()) else "module"
+        self.forward_impl = forward
+        self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,
                                 static_argnames=("out_h", "out_w"))
 
@@ -111,8 +123,17 @@ class DualGeneratorEngine:
         return cls(st, lung, **kw)
 
     # ---------------------------------------------------------------- core
+    def _gen_apply(self, generator, params, x):
+        if self.forward_impl == "packed":
+            from ducosy_tpu.models.fused import generator_apply_packed
+            return generator_apply_packed(
+                params, x,
+                num_residual_blocks=generator.num_residual_blocks,
+                use_cbam=generator.use_cbam, dtype=self.compute_dtype)
+        return generator.apply({"params": params}, x)
+
     def _apply_one(self, params, x):
-        return self.generator.apply({"params": params}, x)
+        return self._gen_apply(self.generator, params, x)
 
     def _resize_in(self, x):
         """NHWC -> model resolution (antialiased bilinear on image channels;
@@ -147,10 +168,10 @@ class DualGeneratorEngine:
                 st_x = jnp.concatenate([st_x, st_masks], axis=-1)
             if self.lung_channels > 1:
                 lung_x = jnp.concatenate([lung_x, lung_masks], axis=-1)
-            y_st = self.st_generator.apply(
-                {"params": params["st"]}, st_x)[..., 0]
-            y_lung = self.lung_generator.apply(
-                {"params": params["lung"]}, lung_x)[..., 0]
+            y_st = self._gen_apply(self.st_generator, params["st"],
+                                   st_x)[..., 0]
+            y_lung = self._gen_apply(self.lung_generator, params["lung"],
+                                     lung_x)[..., 0]
         y = jnp.stack([y_st, y_lung])
         if y.shape[-2:] != (out_h, out_w):
             y = resize_hw(y, out_h, out_w)

@@ -209,3 +209,215 @@ def generator_apply_fused(params, x, *, num_residual_blocks: int = 9,
     h = reflect_pad(h, 3)
     h = _conv(h, p["head"]["kernel"], p["head"]["bias"], dtype=dtype)
     return jnp.tanh(h.astype(jnp.float32))
+
+
+# ================================================================== packed
+# Space-to-depth ("packed") layout machinery: the encoder/decoder stages
+# around the trunk all run at 512^2/256^2 with <=128 channels — each one
+# either starves the MXU (stem 7x7 from 1-3 channels: ~4% utilization;
+# head 7x7 to 1 channel: 21 ms of a 60 ms forward) or materializes 4x
+# activations (upsample+conv). Working on the packed grid (true pixels
+# folded into channels, channel index (row_phase*f + col_phase)*C + c)
+# keeps every conv at MXU-friendly contraction/output widths and removes
+# every 512^2 elementwise pass. All kernels below are EXACT rewrites of
+# the reference ops (tested against the Flax module to fp32 tolerance).
+
+def _d2s(x, f: int):
+    """(N, H, W, f*f*C) packed -> (N, f*H, f*W, C) true grid."""
+    n, h, w, cf = x.shape
+    c = cf // (f * f)
+    x = x.reshape(n, h, w, f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, f * h, f * w, c)
+
+
+def packed_in_relu(x, groups: int, relu: bool = True):
+    """InstanceNorm(+ReLU) over the TRUE grid of a packed tensor: per true
+    channel, statistics pool over (H, W, phases) — exact (equal counts)."""
+    n, h, w, cf = x.shape
+    c = cf // groups
+    g = x.reshape(n, h, w, groups, c).astype(jnp.float32)
+    mean = jnp.mean(g, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=(1, 2, 3), keepdims=True)
+    y = (g - mean) * jax.lax.rsqrt(var + EPS_INSTANCE_NORM)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.reshape(n, h, w, cf).astype(x.dtype)
+
+
+def down_conv_packed_kernel(w):
+    """3x3 stride-2 zero-pad-1 conv whose input arrives packed-4 (the s2d
+    grid IS the output grid): (2,2,4Cin,Cout); input needs one zero packed
+    row/col on the LOW side only."""
+    _, _, cin, cout = w.shape
+    out = jnp.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for pr in range(2):
+        for qr in range(2):
+            for d in range(2):
+                u = 2 * d + pr - 1
+                if not 0 <= u < 3:
+                    continue
+                for e in range(2):
+                    v = 2 * e + qr - 1
+                    if not 0 <= v < 3:
+                        continue
+                    ci = (pr * 2 + qr) * cin
+                    out = out.at[d, e, ci:ci + cin].add(w[u, v])
+    return out
+
+
+def up_packed_kernel(w):
+    """nearest-up(2) + zero-pad-1 + 3x3 conv, output left PACKED-4:
+    (3,3,Cin,4Cout) — the four 2x2 subpixel phase kernels placed at their
+    phase offsets inside a shared 3x3 window (input zero-padded by 1)."""
+    _, _, cin, cout = w.shape
+    sub = subpixel_kernel(w)                       # (2,2,Cin,4Cout)
+    out = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for p in range(2):
+        for q in range(2):
+            blk = sub[:, :, :, (p * 2 + q) * cout:(p * 2 + q + 1) * cout]
+            out = out.at[p:p + 2, q:q + 2, :,
+                         (p * 2 + q) * cout:(p * 2 + q + 1) * cout].add(blk)
+    return out
+
+
+def up2_packed_kernel(w):
+    """nearest-up(2) + zero-pad-1 + 3x3 conv where the INPUT is already
+    packed-4 and the output stays PACKED-16: (3,3,4Cin,16Cout); input
+    zero-padded by 1 packed pixel."""
+    _, _, cin, cout = w.shape
+    out = jnp.zeros((3, 3, 4 * cin, 16 * cout), w.dtype)
+    for t in range(4):          # output row phase on the true 512 grid
+        for s in range(4):      # output col phase
+            for dr in range(3):
+                for dc in range(3):
+                    fr = (t + dr - 1) // 2      # floor: true-256 row offset
+                    fc = (s + dc - 1) // 2
+                    d, alpha = fr // 2 + 1, fr % 2
+                    e, beta = fc // 2 + 1, fc % 2
+                    ci = (alpha * 2 + beta) * cin
+                    co = (t * 4 + s) * cout
+                    out = out.at[d, e, ci:ci + cin,
+                                 co:co + cout].add(w[dr, dc])
+    return out
+
+
+def head_packed_kernel(w):
+    """7x7 conv (reflect-padded separately) with input AND output packed-16
+    on the 128^2 grid: (3,3,16Cin,16Cout)."""
+    k, _, cin, cout = w.shape
+    out = jnp.zeros((3, 3, 16 * cin, 16 * cout), w.dtype)
+    for t in range(4):
+        for s in range(4):
+            for u in range(k):
+                for v in range(k):
+                    fr = (t + u - 3) // 4
+                    fc = (s + v - 3) // 4
+                    d, alpha = fr + 1, (t + u - 3) % 4
+                    e, beta = fc + 1, (s + v - 3) % 4
+                    ci = (alpha * 4 + beta) * cin
+                    co = (t * 4 + s) * cout
+                    out = out.at[d, e, ci:ci + cin,
+                                 co:co + cout].add(w[u, v])
+    return out
+
+
+def packed16_reflect_pad3(x, c: int):
+    """True-grid ReflectionPad2d(3) expressed on a packed-16 tensor: one
+    extra packed row/col per side whose phase channels are the reflected
+    true rows/cols (phase permutation of the adjacent packed row/col); the
+    never-tapped outermost true line is zero."""
+    n, h, w, cf = x.shape
+
+    def pad_axis(t, axis):
+        # gather phase slices of the packed border element
+        def phase_sel(border, perm, axis_phase):
+            # border: packed row/col (…, 16C); reorder its 4 sub-phases
+            # along `axis_phase` (0 = row phase alpha, 1 = col phase beta)
+            b = border.reshape(border.shape[:-1] + (4, 4, c))
+            parts = []
+            for k_ in perm:
+                if k_ is None:
+                    parts.append(jnp.zeros_like(
+                        jnp.take(b, 0, axis=-3 if axis_phase == 0 else -2)))
+                else:
+                    parts.append(jnp.take(
+                        b, k_, axis=-3 if axis_phase == 0 else -2))
+            stacked = jnp.stack(parts, axis=-3 if axis_phase == 0 else -2)
+            return stacked.reshape(border.shape)
+
+        sl = lambda i: tuple(slice(i, i + 1) if d == axis else slice(None)
+                             for d in range(t.ndim))
+        first, last = t[sl(0)], t[sl(t.shape[axis] - 1)]
+        ap = 0 if axis == 1 else 1
+        pre = phase_sel(first, [None, 3, 2, 1], ap)   # true rows -4..-1
+        post = phase_sel(last, [2, 1, 0, None], ap)   # true rows H..H+3
+        return jnp.concatenate([pre, t, post], axis=axis)
+
+    return pad_axis(pad_axis(x, 1), 2)
+
+
+def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
+                           use_cbam: bool = True, dtype=jnp.bfloat16):
+    """Generator forward entirely in packed (space-to-depth) layout outside
+    the trunk: one s2d at the input, one tiny d2s at the (128^2, 16)
+    output, MXU-shaped convs everywhere between. Exact to bf16 rounding
+    versus Generator.__call__ on the same params."""
+    p = params
+    x = x.astype(dtype)
+
+    # ---- encoder (packed-4 until down1 consumes it)
+    xp = reflect_pad(x, 3)
+    if xp.shape[1] % 2:
+        xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    s = _s2d2(xp)
+    w_stem = s2d_conv_kernel(p["stem"]["kernel"]).astype(dtype)
+    h = _conv(s, w_stem, dtype=dtype)
+    h_out = (x.shape[1] + 6 - p["stem"]["kernel"].shape[0] + 1) // 2
+    h = h[:, :h_out, :h_out] + jnp.tile(p["stem"]["bias"], 4).astype(dtype)
+    h = packed_in_relu(h, 4)                       # true 512^2 x base
+
+    w_d1 = down_conv_packed_kernel(p["down1"]["kernel"]).astype(dtype)
+    h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
+    h = _conv(h, w_d1, dtype=dtype) + p["down1"]["bias"].astype(dtype)
+    h = _instance_norm_xla(h, relu=True)           # true 256^2 x 2base
+
+    h = _conv(h, p["down2"]["kernel"], p["down2"]["bias"], stride=2,
+              padding=((1, 1), (1, 1)), dtype=dtype)
+    h = _instance_norm_xla(h, relu=True)           # true 128^2 x 4base
+
+    # ---- trunk (XLA; today's toolchain fuses this best — docs/PERF.md)
+    eps = EPS_INSTANCE_NORM
+    for i in range(num_residual_blocks):
+        bp = p[f"block{i}"]
+        t = reflect_pad(h, 1)
+        t = _conv(t, bp["conv1"]["kernel"], bp["conv1"]["bias"], dtype=dtype)
+        t = reflect_pad(_instance_norm_xla(t, relu=True), 1)
+        t = _conv(t, bp["conv2"]["kernel"], bp["conv2"]["bias"], dtype=dtype)
+        if use_cbam:
+            from ducosy_tpu.ops.pallas.cbam_block import _xla_block_tail
+            h = _xla_block_tail(t, h, bp["ca"]["fc1"]["kernel"],
+                                bp["ca"]["fc2"]["kernel"],
+                                bp["sa"]["conv"]["kernel"], eps, 0)
+        else:
+            h = h + _instance_norm_xla(t, relu=False)
+
+    # ---- decoder: packed-4 -> packed-16, no d2s until the very end
+    w_u1 = up_packed_kernel(p["up1"]["kernel"].astype(jnp.float32))
+    h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h = _conv(h, w_u1.astype(dtype), dtype=dtype)
+    h = h + jnp.tile(p["up1"]["bias"], 4).astype(dtype)
+    h = packed_in_relu(h, 4)                       # packed-4 of 256^2 x co1
+
+    co2 = p["up2"]["kernel"].shape[3]
+    w_u2 = up2_packed_kernel(p["up2"]["kernel"].astype(jnp.float32))
+    h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    h = _conv(h, w_u2.astype(dtype), dtype=dtype)
+    h = h + jnp.tile(p["up2"]["bias"], 16).astype(dtype)
+    h = packed_in_relu(h, 16)                      # packed-16 of 512^2 x co2
+
+    w_hd = head_packed_kernel(p["head"]["kernel"].astype(jnp.float32))
+    h = packed16_reflect_pad3(h, co2)
+    h = _conv(h, w_hd.astype(dtype), dtype=dtype)
+    h = h + jnp.tile(p["head"]["bias"], 16).astype(dtype)
+    h = jnp.tanh(h.astype(jnp.float32))            # (N, 128, 128, 16)
+    return _d2s(h, 4)                              # (N, 512, 512, 1)

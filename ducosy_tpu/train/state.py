@@ -71,8 +71,11 @@ def build_models(range_cfg: RangeConfig, model_cfg: ModelConfig = ModelConfig(),
 
 def create_state(rng: jax.Array, cfg: TrainConfig, range_cfg: RangeConfig,
                  model_cfg: ModelConfig = ModelConfig(),
-                 img_size: int | None = None, dtype=jnp.float32
+                 img_size: int | None = None, dtype=None
                  ) -> tuple[CycleGANState, Generator, Discriminator]:
+    if dtype is None:  # follow the config (bf16 compute by default on TPU)
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
     img = img_size or cfg.img_size
     gen, disc = build_models(range_cfg, model_cfg, dtype=dtype)
     kg1, kg2, kd1, kd2 = jax.random.split(rng, 4)

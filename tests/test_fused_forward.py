@@ -96,3 +96,48 @@ def test_fused_forward_grads_flow(rng):
         np.testing.assert_allclose(np.asarray(fused_flat[key]),
                                    np.asarray(ref_flat[key]),
                                    rtol=5e-3, atol=1e-6, err_msg=key)
+
+
+def test_packed_forward_matches_module(rng):
+    """The fully packed (space-to-depth) forward must equal the Flax module
+    bit-for-bit at fp32 tolerance — including the reflect-padded head
+    computed entirely in packed-16 layout."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+
+    for channels in (1, 3):
+        gen = Generator(input_channels=channels, num_residual_blocks=2,
+                        use_cbam=True, dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, channels)),
+                        jnp.float32)
+        params = gen.init(jax.random.PRNGKey(0), x)["params"]
+        ref = gen.apply({"params": params}, x)
+        out = generator_apply_packed(params, x, num_residual_blocks=2,
+                                     dtype=jnp.float32)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_packed_forward_grads_flow(rng):
+    from ducosy_tpu.models.fused import generator_apply_packed
+
+    gen = Generator(input_channels=1, num_residual_blocks=1, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(2), x)["params"]
+    tgt = jnp.asarray(rng.uniform(-1, 1, (1, 32, 32, 1)), jnp.float32)
+
+    g_ref = jax.grad(lambda p: jnp.mean(
+        (gen.apply({"params": p}, x) - tgt) ** 2))(params)
+    g_pk = jax.grad(lambda p: jnp.mean(
+        (generator_apply_packed(p, x, num_residual_blocks=1,
+                                dtype=jnp.float32) - tgt) ** 2))(params)
+    ref_flat = {jax.tree_util.keystr(k): v for k, v in
+                jax.tree_util.tree_leaves_with_path(g_ref)}
+    pk_flat = {jax.tree_util.keystr(k): v for k, v in
+               jax.tree_util.tree_leaves_with_path(g_pk)}
+    assert set(ref_flat) == set(pk_flat)
+    for key in ref_flat:
+        np.testing.assert_allclose(np.asarray(pk_flat[key]),
+                                   np.asarray(ref_flat[key]),
+                                   rtol=5e-3, atol=1e-6, err_msg=key)

@@ -310,3 +310,27 @@ def test_generate_cli_fast_pipeline(tmp_path, rng):
         ds = dcmread(str(out_dir / files[0]))
         assert ds.SeriesDescription == "DuCoSyGAN sCECT v2"
         assert ds.pixel_array.shape == (64, 64)
+
+
+def test_engine_packed_forward_matches_module(rng):
+    """The engine's packed generator path must produce the same patient
+    output as the canonical module path (fp32 on CPU -> near-exact)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import chest_hu
+
+    g1 = Generator(input_channels=1, num_residual_blocks=1)
+    p_st = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))["params"]
+    p_lu = g1.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))["params"]
+    vol = np.stack([chest_hu(64, 64, z=i) for i in range(4)])
+    stored = (vol + 1024).astype(np.int16)
+
+    kw = dict(img_size=64, compute_dtype=jnp.float32)
+    out_mod = DualGeneratorEngine(p_st, p_lu, forward="module",
+                                  **kw).run_patient(stored, 1.0, -1024.0,
+                                                    chunk=2)
+    out_pk = DualGeneratorEngine(p_st, p_lu, forward="packed",
+                                 **kw).run_patient(stored, 1.0, -1024.0,
+                                                   chunk=2)
+    # int16 outputs: allow 1-LSB rounding flips at fp32 tolerance
+    assert np.abs(out_pk.astype(np.int32) - out_mod.astype(np.int32)).max() <= 1

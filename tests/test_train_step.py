@@ -18,7 +18,8 @@ from ducosy_tpu.train import create_state, make_train_step, make_val_step
 from ducosy_tpu.train.schedule import lr_for_epoch
 
 IMG = 32
-CFG = replace(TrainConfig(), img_size=IMG, batch_size=8)
+CFG = replace(TrainConfig(), img_size=IMG, batch_size=8,
+              compute_dtype="float32")  # deterministic CPU math
 MODEL = ModelConfig(num_residual_blocks=2)
 RANGE = SOFT_TISSUE  # 2 masks -> 3 input channels
 
