@@ -62,14 +62,16 @@ batch = {
 # ~100 MB from the HBM ceiling on this toolchain. A compile-time OOM (the
 # usual failure) never touches the donated buffers; recreate the state
 # anyway so an execution-time OOM can't poison the retry either.
-step = make_train_step(gen, disc, cfg, remat=False)
+step = make_train_step(gen, disc, cfg, remat=False,
+                       gen_forward="packed")
 try:
     state, m = step(state, batch)
     jax.block_until_ready(state.params_g_a2b)
 except Exception:  # OOM without remat -> remat'd step (cfg remat auto)
     state, gen, disc = create_state(jax.random.PRNGKey(0), cfg, SOFT_TISSUE,
                                     ModelConfig(), img_size=512)
-    step = make_train_step(gen, disc, cfg, remat=True)
+    step = make_train_step(gen, disc, cfg, remat=True,
+                           gen_forward="packed")
     state, m = step(state, batch)
     jax.block_until_ready(state.params_g_a2b)
 n = 4

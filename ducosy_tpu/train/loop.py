@@ -130,8 +130,14 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
     print(f"Train/Val split: {len(train_ds)} / {len(val_ds)} slices")
 
     state = replicate(mesh, state)
+    gen_forward = cfg.gen_forward
+    if gen_forward == "auto":
+        from ducosy_tpu.ops.pallas import pallas_available
+        gen_forward = "packed" if (pallas_available()
+                                   and cfg.img_size % 4 == 0) else "module"
     train_step = make_train_step(gen, disc, cfg, loss_cfg,
-                                 remat=(cfg.remat == "on"))
+                                 remat=(cfg.remat == "on"),
+                                 gen_forward=gen_forward)
     val_step = make_val_step(gen, disc, cfg)
     remat_active = cfg.remat == "on"
     # wrap-padded final batches carry a "weight" vector and need a step
@@ -146,7 +152,7 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
         if n_real not in final_steps:
             final_steps[n_real] = make_train_step(
                 gen, disc, cfg, loss_cfg, remat=remat_active,
-                n_real=n_real)
+                n_real=n_real, gen_forward=gen_forward)
         return final_steps[n_real]
 
     logger = MetricsLogger(os.path.join(training_dir, "metrics.jsonl")
@@ -182,7 +188,8 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                 print("train step exceeded HBM; retrying with remat'd "
                       "generator forwards")
                 train_step = make_train_step(gen, disc, cfg, loss_cfg,
-                                             remat=True)
+                                             remat=True,
+                                             gen_forward=gen_forward)
                 remat_active = True
                 final_steps.clear()
                 state, metrics = step_for(host_batch)(state, batch)

@@ -59,7 +59,8 @@ def _forward_all(gen_apply, params_a2b, params_b2a, batch: Batch):
 def make_train_step(gen, disc, cfg: TrainConfig,
                     loss_cfg: LossConfig = LossConfig(), *,
                     donate: bool = True, remat: bool = True,
-                    n_real: int | None = None):
+                    n_real: int | None = None,
+                    gen_forward: str = "module"):
     """Build the jitted (state, batch) -> (state, metrics) step.
 
     When the batch carries a per-sample "weight" vector (a wrap-padded
@@ -73,7 +74,15 @@ def make_train_step(gen, disc, cfg: TrainConfig,
     internals in the backward pass — without it the step needs ~18 GB of
     activation HBM at batch 8 and OOMs a 16 GB chip."""
     tx = make_optimizer(cfg)
-    gen_apply = lambda p, x: gen.apply({"params": p}, x)
+    if gen_forward == "packed":
+        # the space-to-depth forward (models/fused.py) — same params, same
+        # function, MXU-shaped convs; gradients are exact (tested)
+        from ducosy_tpu.models.fused import generator_apply_packed
+        gen_apply = lambda p, x: generator_apply_packed(
+            p, x, num_residual_blocks=gen.num_residual_blocks,
+            use_cbam=gen.use_cbam, dtype=gen.dtype)
+    else:
+        gen_apply = lambda p, x: gen.apply({"params": p}, x)
     disc_apply = lambda p, x: disc.apply({"params": p}, x)
     if remat:
         # whole-forward checkpoint bounds the cross-forward peak (six
@@ -95,12 +104,13 @@ def make_train_step(gen, disc, cfg: TrainConfig,
 
     loss_terms = _loss_terms
     if remat:
-        # Rematerialization granularity matters: per-residual-block remat
-        # (the gen.clone above) bounds the within-forward peak, and
-        # checkpointing the 9-term loss graph frees its ~30 full-resolution
-        # fp32 intermediates (blur/sobel/ssim maps) during the backward.
-        # Do NOT also checkpoint the whole generator forward: nesting the
-        # two multiplies recomputation (measured 8.6 s/step vs ~1.4).
+        # Also checkpoint the 9-term loss graph: its ~30 full-resolution
+        # fp32 intermediates (blur/sobel/ssim maps) otherwise stay live
+        # across the whole backward. Granularity lessons (measured): the
+        # whole-forward checkpoint above is the right unit — nesting a
+        # per-block remat inside it multiplies recomputation (8.6 s/step
+        # vs ~1.2), and block-remat alone leaves the six forwards'
+        # encoder/decoder activations live simultaneously (39 GB).
         loss_terms = jax.checkpoint(_loss_terms)
 
     def g_loss_fn(g_params, state: CycleGANState, batch: Batch):

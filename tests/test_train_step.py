@@ -212,3 +212,19 @@ def test_loader_emits_weight_on_final_batch():
     np.testing.assert_array_equal(batches[2]["weight"],
                                   [1.0, 1.0, 0.0, 0.0])
     assert batches[2]["x"].shape == (4, 3)
+
+
+def test_packed_train_step_matches_module(setup, rng):
+    """make_train_step(gen_forward="packed") must produce the same losses
+    as the canonical module forward (fp32, tiny shapes)."""
+    state, gen, disc = setup
+    batch = _batch(rng)
+    step_m = make_train_step(gen, disc, CFG, donate=False,
+                             gen_forward="module")
+    step_p = make_train_step(gen, disc, CFG, donate=False,
+                             gen_forward="packed")
+    _, m_mod = step_m(state, batch)
+    _, m_pk = step_p(state, batch)
+    for k in m_mod:
+        np.testing.assert_allclose(float(m_pk[k]), float(m_mod[k]),
+                                   rtol=5e-5, err_msg=k)
