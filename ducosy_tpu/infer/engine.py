@@ -157,8 +157,14 @@ class DualGeneratorEngine:
             if x.shape[2:4] != (self.img_size, self.img_size):
                 x = resize_hw(x.transpose(0, 1, 4, 2, 3), self.img_size,
                               self.img_size).transpose(0, 1, 3, 4, 2)
-            y = jax.vmap(self._apply_one)(params, x)     # (2, B, s, s, 1)
-            y_st, y_lung = y[0, ..., 0], y[1, ..., 0]
+            # unrolled over the stacked model axis rather than vmapped: the
+            # two forwards use different weights (no conv merging is
+            # possible) and Pallas kernels don't batch under
+            # vmap-inside-lax.map; XLA still schedules both in one program
+            p_st = jax.tree_util.tree_map(lambda a: a[0], params)
+            p_lung = jax.tree_util.tree_map(lambda a: a[1], params)
+            y_st = self._apply_one(p_st, x[0])[..., 0]
+            y_lung = self._apply_one(p_lung, x[1])[..., 0]
         else:
             st_x = self._resize_in(st_in[..., None])
             lung_x = self._resize_in(lung_in[..., None])

@@ -357,11 +357,25 @@ def packed16_reflect_pad3(x, c: int):
 
 
 def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
-                           use_cbam: bool = True, dtype=jnp.bfloat16):
+                           use_cbam: bool = True, dtype=jnp.bfloat16,
+                           trunk: str = "auto"):
     """Generator forward entirely in packed (space-to-depth) layout outside
     the trunk: one s2d at the input, one tiny d2s at the (128^2, 16)
     output, MXU-shaped convs everywhere between. Exact to bf16 rounding
-    versus Generator.__call__ on the same params."""
+    versus Generator.__call__ on the same params.
+
+    trunk="pallas" runs the residual trunk with zero standalone pad ops:
+    each block is conv(VALID) -> Pallas IN+ReLU with the next reflect-pad
+    folded into the output write -> conv(VALID) -> Pallas block tail
+    (IN + CBAM + skip from the PADDED carry + next pad folded), so per
+    block only the two convs remain outside the fused kernels. A/B per
+    toolchain (docs/PERF.md); "xla" keeps the plain graph; "auto"
+    (default) picks pallas on a real TPU — measured +12.5% on the batch-8
+    512^2 forward (49.5 -> 44.0 ms) where the UNPACKED graph's A/B had the
+    same kernels losing: kernel wins are layout-context-dependent."""
+    if trunk == "auto":
+        from ducosy_tpu.ops.pallas.instance_norm import pallas_available
+        trunk = "pallas" if pallas_available() else "xla"
     p = params
     x = x.astype(dtype)
 
@@ -385,21 +399,41 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
               padding=((1, 1), (1, 1)), dtype=dtype)
     h = _instance_norm_xla(h, relu=True)           # true 128^2 x 4base
 
-    # ---- trunk (XLA; today's toolchain fuses this best — docs/PERF.md)
+    # ---- trunk
     eps = EPS_INSTANCE_NORM
-    for i in range(num_residual_blocks):
-        bp = p[f"block{i}"]
-        t = reflect_pad(h, 1)
-        t = _conv(t, bp["conv1"]["kernel"], bp["conv1"]["bias"], dtype=dtype)
-        t = reflect_pad(_instance_norm_xla(t, relu=True), 1)
-        t = _conv(t, bp["conv2"]["kernel"], bp["conv2"]["bias"], dtype=dtype)
-        if use_cbam:
-            from ducosy_tpu.ops.pallas.cbam_block import _xla_block_tail
-            h = _xla_block_tail(t, h, bp["ca"]["fc1"]["kernel"],
-                                bp["ca"]["fc2"]["kernel"],
-                                bp["sa"]["conv"]["kernel"], eps, 0)
-        else:
-            h = h + _instance_norm_xla(t, relu=False)
+    if trunk == "pallas" and use_cbam:
+        # fully fused: the padded activation is the loop carry; the only
+        # pad op in the whole trunk is the one priming it
+        hp = reflect_pad(h, 1)
+        for i in range(num_residual_blocks):
+            bp = p[f"block{i}"]
+            t = _conv(hp, bp["conv1"]["kernel"], bp["conv1"]["bias"],
+                      dtype=dtype)
+            t = instance_norm_fused(t, True, eps, 1)
+            t = _conv(t, bp["conv2"]["kernel"], bp["conv2"]["bias"],
+                      dtype=dtype)
+            last = i == num_residual_blocks - 1
+            hp = block_tail_fused(t, hp, bp["ca"]["fc1"]["kernel"],
+                                  bp["ca"]["fc2"]["kernel"],
+                                  bp["sa"]["conv"]["kernel"], eps,
+                                  0 if last else 1, 1)
+        h = hp
+    else:
+        for i in range(num_residual_blocks):
+            bp = p[f"block{i}"]
+            t = reflect_pad(h, 1)
+            t = _conv(t, bp["conv1"]["kernel"], bp["conv1"]["bias"],
+                      dtype=dtype)
+            t = reflect_pad(_instance_norm_xla(t, relu=True), 1)
+            t = _conv(t, bp["conv2"]["kernel"], bp["conv2"]["bias"],
+                      dtype=dtype)
+            if use_cbam:
+                from ducosy_tpu.ops.pallas.cbam_block import _xla_block_tail
+                h = _xla_block_tail(t, h, bp["ca"]["fc1"]["kernel"],
+                                    bp["ca"]["fc2"]["kernel"],
+                                    bp["sa"]["conv"]["kernel"], eps, 0)
+            else:
+                h = h + _instance_norm_xla(t, relu=False)
 
     # ---- decoder: packed-4 -> packed-16, no d2s until the very end
     w_u1 = up_packed_kernel(p["up1"]["kernel"].astype(jnp.float32))

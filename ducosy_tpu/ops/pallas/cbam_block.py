@@ -37,7 +37,7 @@ SA_KERNEL = 7  # reference SpatialAttention kernel_size (modules/model.py:29)
 
 
 def _kernel(h_ref, x_ref, w1_ref, w2_ref, wsa_ref, o_ref, *,
-            eps: float, pad: int):
+            eps: float, pad: int, x_pad: int):
     h = h_ref[0]                                   # (H, W, C), io dtype
     hh, ww, c = h.shape
     count = hh * ww
@@ -85,19 +85,25 @@ def _kernel(h_ref, x_ref, w1_ref, w2_ref, wsa_ref, o_ref, *,
     # fp32 gate first, cast the (H, W, 1) result for the broadcast multiply
     gate_s = jax.nn.sigmoid(acc)[:, :, None].astype(t.dtype)     # (H, W, 1)
 
-    out = x_ref[0] + t * gate_s
+    x = x_ref[0]
+    if x_pad:  # skip input arrives reflect-padded (the previous block's
+        # folded output write); only its interior joins the residual
+        x = x[x_pad:x_pad + hh, x_pad:x_pad + ww]
+    out = x + t * gate_s
     if pad:
         out = reflect_pad_hw(out, pad, h_axis=0)
     o_ref[0] = out.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps", "pad", "interpret"))
+                   static_argnames=("eps", "pad", "x_pad", "interpret"))
 def block_tail_pallas(h, x, w1, w2, wsa, *, eps: float = EPS, pad: int = 0,
-                      interpret: bool = False):
-    """h: conv2 output (N,H,W,C); x: block input (N,H,W,C); w1 (C,R);
-    w2 (R,C); wsa (7,7,2,1) torch-ordered HWIO spatial-conv kernel.
-    Returns x + CBAM(IN(h)), reflect-padded by `pad`."""
+                      x_pad: int = 0, interpret: bool = False):
+    """h: conv2 output (N,H,W,C); x: block input (N,H,W,C) — or, with
+    x_pad=p, the block input already reflect-padded by p (the previous
+    block's folded output write; only the interior joins the skip add);
+    w1 (C,R); w2 (R,C); wsa (7,7,2,1) torch-ordered HWIO spatial-conv
+    kernel. Returns x + CBAM(IN(h)), reflect-padded by `pad`."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -107,13 +113,14 @@ def block_tail_pallas(h, x, w1, w2, wsa, *, eps: float = EPS, pad: int = 0,
     out_shape = (n, hh + 2 * pad, ww + 2 * pad, c)
     vspace = pltpu.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
-        functools.partial(_kernel, eps=eps, pad=pad),
+        functools.partial(_kernel, eps=eps, pad=pad, x_pad=x_pad),
         out_shape=jax.ShapeDtypeStruct(out_shape, h.dtype),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, hh, ww, c), lambda i: (i, 0, 0, 0),
                          memory_space=vspace),
-            pl.BlockSpec((1, hh, ww, c), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, hh + 2 * x_pad, ww + 2 * x_pad, c),
+                         lambda i: (i, 0, 0, 0),
                          memory_space=vspace),
             pl.BlockSpec((c, w1.shape[1]), lambda i: (0, 0),
                          memory_space=vspace),
@@ -130,8 +137,10 @@ def block_tail_pallas(h, x, w1, w2, wsa, *, eps: float = EPS, pad: int = 0,
     )(h, x, w1.astype(jnp.float32), w2.astype(jnp.float32), wsa_flat)
 
 
-def _xla_block_tail(h, x, w1, w2, wsa, eps, pad):
+def _xla_block_tail(h, x, w1, w2, wsa, eps, pad, x_pad=0):
     """Reference composition in plain XLA (CPU path + the VJP recompute)."""
+    if x_pad:
+        x = x[:, x_pad:-x_pad, x_pad:-x_pad, :]
     x32 = h.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
@@ -160,26 +169,30 @@ def _xla_block_tail(h, x, w1, w2, wsa, eps, pad):
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def block_tail_fused(h, x, w1, w2, wsa, eps: float = EPS, pad: int = 0):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def block_tail_fused(h, x, w1, w2, wsa, eps: float = EPS, pad: int = 0,
+                     x_pad: int = 0):
     """x + CBAM(InstanceNorm(h)), optionally reflect-padded — Pallas on
     TPU, XLA elsewhere; differentiable (backward = XLA autodiff of the
-    composition)."""
+    composition). With x_pad=p the skip input arrives reflect-padded by p
+    and only its interior is used (zero gradient to the border)."""
     if pallas_available():
-        return block_tail_pallas(h, x, w1, w2, wsa, eps=eps, pad=pad)
-    return _xla_block_tail(h, x, w1, w2, wsa, eps, pad)
+        return block_tail_pallas(h, x, w1, w2, wsa, eps=eps, pad=pad,
+                                 x_pad=x_pad)
+    return _xla_block_tail(h, x, w1, w2, wsa, eps, pad, x_pad)
 
 
-def _fwd(h, x, w1, w2, wsa, eps, pad):
-    return block_tail_fused(h, x, w1, w2, wsa, eps, pad), (h, x, w1, w2, wsa)
+def _fwd(h, x, w1, w2, wsa, eps, pad, x_pad):
+    return (block_tail_fused(h, x, w1, w2, wsa, eps, pad, x_pad),
+            (h, x, w1, w2, wsa))
 
 
-def _bwd(eps, pad, res, g):
+def _bwd(eps, pad, x_pad, res, g):
     h, x, w1, w2, wsa = res
     # unpadded-tail VJP + explicit pad adjoint keeps the recompute graph
     # free of the pad output (saves HBM in the backward)
     _, vjp = jax.vjp(
-        lambda *a: _xla_block_tail(*a, eps, 0), h, x, w1, w2, wsa)
+        lambda *a: _xla_block_tail(*a, eps, 0, x_pad), h, x, w1, w2, wsa)
     return vjp(reflect_pad_adjoint(g, pad).astype(g.dtype))
 
 

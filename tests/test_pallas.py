@@ -179,3 +179,60 @@ def test_block_tail_xla_fallback_and_grad(rng):
     for a, b in zip(g_fused, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-5)
+
+
+def test_block_tail_xpad_interpret(rng):
+    """x_pad: the skip input arrives reflect-padded; only its interior
+    joins the residual, and the padded output write still matches."""
+    from ducosy_tpu.ops.pallas.cbam_block import block_tail_pallas
+
+    c = 128
+    h = jnp.asarray(rng.standard_normal((2, 10, 10, c)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 10, 10, c)), jnp.float32)
+    xp = _ref_pad(x, 1)
+    w1, w2, wsa = _tail_params(rng, c, r=8)
+    for pad in (0, 1):
+        ref = _module_tail(h, x, w1, w2, wsa)
+        if pad:
+            ref = _ref_pad(ref, 1)
+        out = block_tail_pallas(h, jnp.asarray(xp), w1, w2, wsa, pad=pad,
+                                x_pad=1, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_block_tail_xpad_fallback_and_grad(rng):
+    """CPU fallback with a padded skip input: forward parity and gradient
+    parity vs autodiff of the module composition (the padded skip's border
+    must receive zero gradient from this op)."""
+    from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
+    from ducosy_tpu.ops.pallas.instance_norm import EPS
+
+    c = 64
+    h = jnp.asarray(rng.standard_normal((2, 8, 8, c)), jnp.float32)
+    xp = jnp.asarray(rng.standard_normal((2, 10, 10, c)), jnp.float32)
+    w1, w2, wsa = _tail_params(rng, c, r=4)
+    tangent = jnp.asarray(rng.standard_normal((2, 10, 10, c)), jnp.float32)
+
+    def fused_loss(*args):
+        return jnp.sum(block_tail_fused(*args, EPS, 1, 1) * tangent)
+
+    def ref_loss(h, xp, w1, w2, wsa):
+        from ducosy_tpu.models.layers import reflect_pad
+        core = _module_tail(h, xp[:, 1:-1, 1:-1, :], w1, w2, wsa)
+        return jnp.sum(reflect_pad(core, 1) * tangent)
+
+    np.testing.assert_allclose(
+        np.asarray(block_tail_fused(h, xp, w1, w2, wsa, EPS, 1, 1)),
+        np.asarray(_ref_pad(
+            _module_tail(h, xp[:, 1:-1, 1:-1, :], w1, w2, wsa), 1)),
+        rtol=2e-4, atol=2e-5)
+    g_fused = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(
+        h, xp, w1, w2, wsa)
+    g_ref = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(h, xp, w1, w2, wsa)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-5)
+    border = np.asarray(g_fused[1])
+    assert np.all(border[:, 0, :, :] == 0) and np.all(border[:, -1, :, :] == 0)
+
