@@ -43,6 +43,47 @@ def reflect_pad_hw(a, p: int, h_axis: int = 0):
     return _pad_axis(_pad_axis(a, h_axis), h_axis + 1)
 
 
+def _rev_axis(x, axis: int):
+    """Reverse along ``axis`` via single-slice concat (Mosaic-lowerable;
+    `rev`/jnp.flip is not implemented by Pallas TPU). Only used on the
+    p-row/col borders, so the concat is tiny."""
+    n = x.shape[axis]
+    if n == 1:
+        return x
+    sl = lambda i: tuple(slice(i, i + 1) if d == axis else slice(None)
+                         for d in range(x.ndim))
+    return jnp.concatenate([x[sl(i)] for i in range(n - 1, -1, -1)],
+                           axis=axis)
+
+
+def reflect_fold_hw(g, p: int, h_axis: int = 0):
+    """Adjoint of reflect_pad_hw built from static slices + adds + concat
+    (no `.at[].add`, which lowers to scatter-add — unimplemented in Mosaic):
+    border gradients fold back onto their reflected interior rows/cols.
+    Works both inside Pallas kernels and in plain XLA."""
+    if p == 0:
+        return g
+
+    def fold(gr, axis):
+        n = gr.shape[axis]
+        sl = lambda a, b: tuple(slice(a, b) if d == axis else slice(None)
+                                for d in range(gr.ndim))
+        core = gr[sl(p, n - p)]
+        top = _rev_axis(gr[sl(0, p)], axis)
+        bot = _rev_axis(gr[sl(n - p, n)], axis)
+        h = core.shape[axis]
+        assert h >= 2 * p + 2, "fold segments must not overlap"
+        return jnp.concatenate([
+            core[sl(0, 1)],
+            core[sl(1, p + 1)] + top,
+            core[sl(p + 1, h - 1 - p)],
+            core[sl(h - 1 - p, h - 1)] + bot,
+            core[sl(h - 1, h)],
+        ], axis=axis)
+
+    return fold(fold(g, h_axis), h_axis + 1)
+
+
 def pallas_available() -> bool:
     """Pallas TPU kernels need a real TPU backend (interpret mode works
     anywhere but is for testing)."""
@@ -114,11 +155,73 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
 
 
 # ---------------------------------------------------------------- training
-# custom_vjp wrapper: Pallas forward, analytic XLA backward. The backward of
-# parameter-free IN is the layernorm-style expression
+# custom_vjp wrapper: Pallas forward AND (on TPU) Pallas backward. The
+# backward of parameter-free IN is the layernorm-style expression
 #   dx = (g - mean(g) - y * mean(g*y)) / sqrt(var + eps)
-# with the ReLU mask applied to g first when fused.
+# with the ReLU mask applied to g first when fused, and the reflect-pad
+# adjoint folded into the gradient read when the forward folded a pad into
+# its output write — one kernel, one traversal of x and g each, vs XLA's
+# separate fold + stats recompute + normalize chain.
 import jax.numpy as _jnp
+
+
+def _bwd_kernel(x_ref, g_ref, o_ref, *, relu: bool, eps: float, pad: int):
+    x = x_ref[0]                                   # (H, W, Cb), io dtype
+    g = g_ref[0].astype(jnp.float32)               # (H+2p, W+2p, Cb)
+    if pad:
+        g = reflect_fold_hw(g, pad, h_axis=0)      # (H, W, Cb)
+    hh, ww, _ = x.shape
+    count = hh * ww
+    # fp32 stats accumulated without materializing an fp32 copy of x
+    s = jnp.sum(x, axis=(0, 1), keepdims=True, dtype=jnp.float32)
+    sq = jnp.sum(jnp.square(x), axis=(0, 1), keepdims=True,
+                 dtype=jnp.float32)
+    mean = s / count
+    var = jnp.maximum(sq / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x.astype(jnp.float32) - mean) * inv       # pre-ReLU normalized
+    if relu:
+        g = g * (y > 0)
+    mg = jnp.sum(g, axis=(0, 1), keepdims=True) / count
+    mgy = jnp.sum(g * y, axis=(0, 1), keepdims=True) / count
+    dx = (g - mg - y * mgy) * inv
+    o_ref[0] = dx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relu", "eps", "block_c", "interpret",
+                                    "pad"))
+def instance_norm_bwd_pallas(x: jax.Array, g: jax.Array, *,
+                             relu: bool = False, eps: float = EPS,
+                             block_c: int = 128, interpret: bool = False,
+                             pad: int = 0) -> jax.Array:
+    """dL/dx of instance_norm_pallas in one fused pass. ``x`` is the saved
+    forward input (N, H, W, C); ``g`` the cotangent of the (possibly
+    pad-folded) output (N, H+2p, W+2p, C)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = x.shape
+    bc = min(block_c, c)
+    if c % bc != 0:
+        bc = c
+    vspace = pltpu.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, relu=relu, eps=eps, pad=pad),
+        out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
+        grid=(n, c // bc),
+        in_specs=[
+            pl.BlockSpec((1, h, w, bc), lambda i, j: (i, 0, 0, j),
+                         memory_space=vspace),
+            pl.BlockSpec((1, h + 2 * pad, w + 2 * pad, bc),
+                         lambda i, j: (i, 0, 0, j), memory_space=vspace),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, bc), lambda i, j: (i, 0, 0, j),
+                               memory_space=vspace),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(x, g)
 
 
 def _xla_forward(x, relu, eps, pad=0):
@@ -172,7 +275,12 @@ def _fwd(x, relu, eps, pad):
     return y, x  # save the input; backward recomputes exact fp32 stats
 
 
+_PALLAS_BWD = True  # A/B switch: False forces the XLA analytic backward
+
+
 def _bwd(relu, eps, pad, x, g):
+    if _PALLAS_BWD and pallas_available():
+        return (instance_norm_bwd_pallas(x, g, relu=relu, eps=eps, pad=pad),)
     g = reflect_pad_adjoint(g.astype(_jnp.float32), pad)
     x32 = x.astype(_jnp.float32)
     mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)

@@ -236,3 +236,44 @@ def test_block_tail_xpad_fallback_and_grad(rng):
     border = np.asarray(g_fused[1])
     assert np.all(border[:, 0, :, :] == 0) and np.all(border[:, -1, :, :] == 0)
 
+
+def test_bwd_kernel_interpret_matches_analytic(rng):
+    """The Pallas backward kernel (one-pass dx with ReLU mask + pad-adjoint
+    fold) must match the analytic XLA backward for every (relu, pad)
+    combination the trunk uses."""
+    from ducosy_tpu.ops.pallas.instance_norm import (
+        EPS, instance_norm_bwd_pallas, reflect_pad_adjoint)
+    import ducosy_tpu.ops.pallas.instance_norm as inmod
+
+    x = jnp.asarray(rng.standard_normal((2, 12, 12, 128)), jnp.float32)
+    for relu in (False, True):
+        for pad in (0, 1):
+            g = jnp.asarray(
+                rng.standard_normal((2, 12 + 2 * pad, 12 + 2 * pad, 128)),
+                jnp.float32)
+            want = inmod._bwd(relu, EPS, pad, x, g)[0]
+            got = instance_norm_bwd_pallas(x, g, relu=relu, pad=pad,
+                                           interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       rtol=2e-4, atol=2e-5,
+                                       err_msg=f"relu={relu} pad={pad}")
+
+
+def test_reflect_fold_matches_pad_adjoint(rng):
+    """reflect_fold_hw (slice+add, Mosaic-lowerable) vs the .at-based
+    reflect_pad_adjoint used by the XLA path, and vs jax.vjp of jnp.pad."""
+    from ducosy_tpu.ops.pallas.instance_norm import (
+        reflect_fold_hw, reflect_pad_adjoint)
+
+    for p in (1, 2):
+        g = jnp.asarray(rng.standard_normal((2, 9 + 2 * p, 9 + 2 * p, 3)),
+                        jnp.float32)
+        want = reflect_pad_adjoint(g, p)
+        got = reflect_fold_hw(g, p, h_axis=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+        x = jnp.zeros((2, 9, 9, 3), jnp.float32)
+        _, vjp = jax.vjp(lambda v: jnp.pad(
+            v, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect"), x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(vjp(g)[0]),
+                                   rtol=1e-6, atol=1e-6)
