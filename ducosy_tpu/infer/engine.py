@@ -191,6 +191,34 @@ class DualGeneratorEngine:
             "raw_hu": hu_img,
         }
 
+    @staticmethod
+    def _masks_threaded(hu_vol: np.ndarray, mask_types,
+                        n_workers: int | None = None) -> Dict[str, np.ndarray]:
+        """generate_anatomical_masks over z-chunks in parallel threads.
+
+        Every detector is per-slice independent (masks/anatomy.py:190-201
+        dispatches through _per_slice), so chunking the z axis is exact.
+        scipy/numpy release the GIL in the hot loops; on a production TPU VM
+        (~100 vCPUs) this keeps host mask generation ahead of the ~100
+        slices/s device pipeline instead of binding it at one core's ~25
+        slices/s. Degenerates to a single serial call on 1-CPU hosts."""
+        import os as _os
+        from ducosy_tpu.masks import generate_anatomical_masks
+
+        if n_workers is None:
+            n_workers = min(8, _os.cpu_count() or 1)
+        z = hu_vol.shape[0] if hu_vol.ndim == 3 else 1
+        if n_workers <= 1 or z < 2 * n_workers:
+            return generate_anatomical_masks(hu_vol, mask_types)
+        from concurrent.futures import ThreadPoolExecutor
+        bounds = np.linspace(0, z, n_workers + 1, dtype=int)
+        spans = [(a, b) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+        with ThreadPoolExecutor(max_workers=len(spans)) as pool:
+            parts = list(pool.map(
+                lambda ab: generate_anatomical_masks(
+                    hu_vol[ab[0]:ab[1]], mask_types), spans))
+        return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
+
     def _host_masks(self, stored: np.ndarray, slope: float,
                     intercept: float) -> Dict[str, np.ndarray]:
         """Generate the conditioning mask channels from raw NCCT HU on the
@@ -206,7 +234,7 @@ class DualGeneratorEngine:
             needed.update(self.st_range.mask_types)
         if self.lung_channels > 1:
             needed.update(self.lung_range.mask_types)
-        masks = generate_anatomical_masks(hu_vol, sorted(needed)) \
+        masks = self._masks_threaded(hu_vol, sorted(needed)) \
             if needed else {}
 
         def pack(mask_types):

@@ -334,3 +334,27 @@ def test_engine_packed_forward_matches_module(rng):
                                                    chunk=2)
     # int16 outputs: allow 1-LSB rounding flips at fp32 tolerance
     assert np.abs(out_pk.astype(np.int32) - out_mod.astype(np.int32)).max() <= 1
+
+
+def test_masks_threaded_matches_serial():
+    """z-chunked threaded mask generation must be byte-identical to the
+    serial call (detectors are per-slice independent)."""
+    from ducosy_tpu.infer.engine import DualGeneratorEngine
+    from ducosy_tpu.masks import generate_anatomical_masks
+
+    rng = np.random.default_rng(7)
+    z, s = 16, 64
+    yy, xx = np.mgrid[0:s, 0:s]
+    body = (((yy - 32) / 26.0) ** 2 + ((xx - 32) / 29.0) ** 2) < 1
+    lung = (((yy - 32) / 14.0) ** 2 + ((xx - 20) / 9.0) ** 2) < 1
+    hu = np.full((z, s, s), -1000.0, np.float32)
+    hu[:, body] = 30.0
+    hu[:, lung] = -820.0
+    hu += rng.normal(0, 15, hu.shape).astype(np.float32)
+
+    types = ["lung", "bone", "mediastinum"]
+    serial = generate_anatomical_masks(hu, types)
+    threaded = DualGeneratorEngine._masks_threaded(hu, types, n_workers=4)
+    assert set(serial) == set(threaded)
+    for k in serial:
+        np.testing.assert_array_equal(threaded[k], serial[k])
