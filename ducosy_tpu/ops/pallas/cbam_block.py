@@ -137,6 +137,230 @@ def block_tail_pallas(h, x, w1, w2, wsa, *, eps: float = EPS, pad: int = 0,
     )(h, x, w1.astype(jnp.float32), w2.astype(jnp.float32), wsa_flat)
 
 
+def _bwd_stats_kernel(h_ref, g_ref, w1_ref, w2_ref, stats_ref, vec_ref, *,
+                      eps: float, pad: int):
+    """Backward pass 1: recompute the forward chain from h and export the
+    SMALL per-sample quantities the spatial-gate adjoint needs — sa_avg,
+    sa_max, dgs = sum_c(g*t) as (3, H, W) f32 maps plus (avg, mx, gate_c)
+    as (3, C) f32 vectors. The 7x7 convs (forward gate + transpose conv +
+    weight grad) then run on these small maps in XLA between the two
+    kernels: a monolithic kernel holding the tap loops next to the big
+    (H, W, C) chains OOM'd VMEM with ~79 MB of register spills."""
+    from ducosy_tpu.ops.pallas.instance_norm import reflect_fold_hw
+
+    h = h_ref[0]                                  # (H, W, C), io dtype
+    hh, ww, c = h.shape
+    count = hh * ww
+    g = g_ref[0]
+    if pad:
+        g = reflect_fold_hw(g, pad, h_axis=0)     # (H, W, C), io dtype
+
+    s = jnp.sum(h, axis=(0, 1), dtype=jnp.float32)
+    sq = jnp.sum(jnp.square(h), axis=(0, 1), dtype=jnp.float32)
+    mean = s / count
+    var = jnp.maximum(sq / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (h - mean.astype(h.dtype)) * inv.astype(h.dtype)         # (H, W, C)
+
+    avg = jnp.sum(y, axis=(0, 1), dtype=jnp.float32) / count     # (C,)
+    mx = jnp.max(y, axis=(0, 1)).astype(jnp.float32)             # (C,)
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    hid = jnp.maximum(
+        jnp.dot(jnp.stack([avg, mx]), w1,
+                preferred_element_type=jnp.float32), 0.0)        # (2, R)
+    gates = jnp.dot(hid, w2, preferred_element_type=jnp.float32)
+    gate_c = jax.nn.sigmoid(gates[0] + gates[1])                 # (C,)
+    t = y * gate_c.astype(y.dtype)[None, None, :]                # (H, W, C)
+
+    sa_avg = jnp.sum(t, axis=-1, dtype=jnp.float32) / c          # (H, W)
+    sa_max = jnp.max(t, axis=-1).astype(jnp.float32)             # (H, W)
+    dgs = jnp.sum(g * t, axis=-1, dtype=jnp.float32)             # (H, W)
+    stats_ref[0] = jnp.stack([sa_avg, sa_max, dgs]).astype(stats_ref.dtype)
+    vec_ref[0] = jnp.stack([avg, mx, gate_c]).astype(vec_ref.dtype)
+
+
+def _bwd_apply_kernel(h_ref, g_ref, w1_ref, w2_ref, maps_ref, vec_ref,
+                      dh_ref, dw1_ref, dw2_ref, *,
+                      eps: float, pad: int, x_pad: int):
+    """Backward pass 2: consume the XLA-computed spatial-gate pieces
+    (gs, dm_avg, dm_max as (3, H, W) f32 maps + sa_max re-imported in
+    maps_ref[3]) and finish the analytic VJP: dt, channel-gate adjoint
+    (MLP + pool adjoints with JAX's equal tie split), InstanceNorm adjoint.
+    No 7x7 tap loops live here. The masked pool adjoints multiply the mask
+    BEFORE dividing by the tie count — the reverse order miscompiles in
+    interpret mode (wrong values at argmax positions)."""
+    from ducosy_tpu.ops.pallas.instance_norm import reflect_fold_hw
+
+    h = h_ref[0]                                  # (H, W, C), io dtype
+    hh, ww, c = h.shape
+    count = hh * ww
+    g = g_ref[0]
+    if pad:
+        g = reflect_fold_hw(g, pad, h_axis=0)     # (H, W, C), io dtype
+
+    s = jnp.sum(h, axis=(0, 1), dtype=jnp.float32)
+    sq = jnp.sum(jnp.square(h), axis=(0, 1), dtype=jnp.float32)
+    mean = s / count
+    var = jnp.maximum(sq / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (h - mean.astype(h.dtype)) * inv.astype(h.dtype)         # (H, W, C)
+
+    w1 = w1_ref[...]
+    w2 = w2_ref[...]
+    avg = vec_ref[0, 0]                                          # (C,) f32
+    mx = vec_ref[0, 1]
+    gate_c = vec_ref[0, 2]
+    pre = jnp.dot(jnp.stack([avg, mx]), w1,
+                  preferred_element_type=jnp.float32)            # (2, R)
+    hid = jnp.maximum(pre, 0.0)
+    t = y * gate_c.astype(y.dtype)[None, None, :]                # (H, W, C)
+
+    gs = maps_ref[0, 0]                                          # (H, W) f32
+    dm_avg = maps_ref[0, 1]
+    dm_max = maps_ref[0, 2]
+    sa_max = maps_ref[0, 3]
+    io = h.dtype
+    gs_io = gs[:, :, None].astype(io)
+
+    mmask = (t.astype(jnp.float32) == sa_max[:, :, None]).astype(io)
+    mcnt = jnp.sum(mmask, axis=-1, keepdims=True, dtype=jnp.float32)
+    dt = (g * gs_io
+          + (dm_avg[:, :, None] / c).astype(io)
+          + mmask * (dm_max[:, :, None]).astype(io)
+          / mcnt.astype(io))                                     # (H,W,C) io
+
+    # ---- channel-gate adjoint
+    dgc = jnp.sum(dt * y, axis=(0, 1), dtype=jnp.float32)        # (C,)
+    da = dgc * gate_c * (1.0 - gate_c)                           # (C,)
+    dhid = jnp.dot(jnp.stack([da, da]), w2.T,
+                   preferred_element_type=jnp.float32)           # (2, R)
+    dhid = dhid * (pre > 0)
+    dpool = jnp.dot(dhid, w1.T, preferred_element_type=jnp.float32)  # (2, C)
+    dw1_ref[0] = (jnp.outer(avg, dhid[0])
+                  + jnp.outer(mx, dhid[1])).astype(dw1_ref.dtype)
+    dw2_ref[0] = (jnp.outer(hid[0], da)
+                  + jnp.outer(hid[1], da)).astype(dw2_ref.dtype)
+    ymask = (y.astype(jnp.float32) == mx[None, None, :]).astype(io)
+    ycnt = jnp.sum(ymask, axis=(0, 1), keepdims=True,
+                   dtype=jnp.float32)                            # (1,1,C)
+    dy = (dt * gate_c.astype(io)[None, None, :]
+          + (dpool[0] / count).astype(io)[None, None, :]
+          + dpool[1].astype(io)[None, None, :] * ymask
+          / ycnt[0, 0].astype(io)[None, None, :])
+
+    # ---- InstanceNorm adjoint (layernorm-style analytic expression)
+    mg = jnp.sum(dy, axis=(0, 1), keepdims=True,
+                 dtype=jnp.float32) / count
+    mgy = jnp.sum(dy * y, axis=(0, 1), keepdims=True,
+                  dtype=jnp.float32) / count
+    dh = ((dy - mg.astype(io)) - y * mgy.astype(io)) \
+        * inv.astype(io)[None, None, :]
+    dh_ref[0] = dh.astype(dh_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "pad", "x_pad", "interpret"))
+def block_tail_bwd_pallas(h, g, w1, w2, wsa, *, eps: float = EPS,
+                          pad: int = 0, x_pad: int = 0,
+                          interpret: bool = False):
+    """VJP of block_tail_pallas as two fused passes with the 7x7 conv
+    adjoints (forward gate, transpose conv, weight grad) on (H, W) maps in
+    XLA between them. Returns cotangents (dh, dx, dw1, dw2, dwsa) matching
+    the primal shapes/dtypes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hh, ww, c = h.shape
+    r = w1.shape[1]
+    vspace = pltpu.ANY if interpret else pltpu.VMEM
+    w1f = w1.astype(jnp.float32)
+    w2f = w2.astype(jnp.float32)
+
+    stats, vec = pl.pallas_call(
+        functools.partial(_bwd_stats_kernel, eps=eps, pad=pad),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 3, hh, ww), jnp.float32),
+            jax.ShapeDtypeStruct((n, 3, c), jnp.float32),
+        ),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hh, ww, c), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((1, hh + 2 * pad, ww + 2 * pad, c),
+                         lambda i: (i, 0, 0, 0), memory_space=vspace),
+            pl.BlockSpec((c, r), lambda i: (0, 0), memory_space=vspace),
+            pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=vspace),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, hh, ww), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((1, 3, c), lambda i: (i, 0, 0),
+                         memory_space=vspace),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(h, g, w1f, w2f)
+
+    # ---- spatial-gate adjoint on the small maps, plain XLA
+    sa_avg, sa_max, dgs = stats[:, 0], stats[:, 1], stats[:, 2]
+    stat = jnp.stack([sa_avg, sa_max], axis=-1)          # (N, H, W, 2)
+    z, conv_vjp = jax.vjp(
+        lambda s_, w_: jax.lax.conv_general_dilated(
+            s_, w_, (1, 1), [(SA_KERNEL // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")),
+        stat, wsa.astype(jnp.float32))
+    gs = jax.nn.sigmoid(z[..., 0])                       # (N, H, W)
+    dz = dgs * gs * (1.0 - gs)
+    dstat, dwsa32 = conv_vjp(dz[..., None])
+    dwsa_out = dwsa32.astype(wsa.dtype)
+    maps = jnp.stack([gs, dstat[..., 0], dstat[..., 1],
+                      sa_max], axis=1)                   # (N, 4, H, W)
+
+    dh, dw1, dw2 = pl.pallas_call(
+        functools.partial(_bwd_apply_kernel, eps=eps, pad=pad, x_pad=x_pad),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, hh, ww, c), h.dtype),
+            jax.ShapeDtypeStruct((n, c, r), jnp.float32),
+            jax.ShapeDtypeStruct((n, r, c), jnp.float32),
+        ),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hh, ww, c), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((1, hh + 2 * pad, ww + 2 * pad, c),
+                         lambda i: (i, 0, 0, 0), memory_space=vspace),
+            pl.BlockSpec((c, r), lambda i: (0, 0), memory_space=vspace),
+            pl.BlockSpec((r, c), lambda i: (0, 0), memory_space=vspace),
+            pl.BlockSpec((1, 4, hh, ww), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((1, 3, c), lambda i: (i, 0, 0),
+                         memory_space=vspace),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hh, ww, c), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((1, c, r), lambda i: (i, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((1, r, c), lambda i: (i, 0, 0),
+                         memory_space=vspace),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=126 * 1024 * 1024),
+    )(h, g, w1f, w2f, maps, vec)
+    dw1 = jnp.sum(dw1, axis=0).astype(w1.dtype)
+    dw2 = jnp.sum(dw2, axis=0).astype(w2.dtype)
+    # dx is just the pad-folded cotangent re-embedded (zero border when the
+    # skip input arrived reflect-padded) — plain XLA, not worth a window in
+    # the VMEM-tight apply kernel
+    gc_ = reflect_pad_adjoint(g.astype(jnp.float32), pad).astype(h.dtype)
+    dx = jnp.pad(gc_, ((0, 0), (x_pad, x_pad), (x_pad, x_pad), (0, 0))) \
+        if x_pad else gc_
+    return dh, dx, dw1, dw2, dwsa_out
+
+
 def _xla_block_tail(h, x, w1, w2, wsa, eps, pad, x_pad=0):
     """Reference composition in plain XLA (CPU path + the VJP recompute)."""
     if x_pad:
@@ -187,8 +411,22 @@ def _fwd(h, x, w1, w2, wsa, eps, pad, x_pad):
             (h, x, w1, w2, wsa))
 
 
+# A/B switch for the hand-written two-pass Pallas tail backward
+# (block_tail_bwd_pallas). Measured on this toolchain it LOSES to XLA
+# autodiff of the composition — 0.931 vs 0.879 s/step on the batch-8 512^2
+# train step (docs/PERF.md): the two passes re-read h/g and re-derive y/t,
+# and the apply kernel carries ~64 MB of register spills. Kept (tested,
+# interpret-mode parity on every pad/x_pad combination) for re-A/B after
+# toolchain changes, like the forward kernels.
+_PALLAS_BWD = False
+
+
 def _bwd(eps, pad, x_pad, res, g):
     h, x, w1, w2, wsa = res
+    if _PALLAS_BWD and pallas_available():
+        from ducosy_tpu.ops.pallas.cbam_block import block_tail_bwd_pallas
+        return block_tail_bwd_pallas(h, g, w1, w2, wsa, eps=eps, pad=pad,
+                                     x_pad=x_pad)
     # unpadded-tail VJP + explicit pad adjoint keeps the recompute graph
     # free of the pad output (saves HBM in the backward)
     _, vjp = jax.vjp(

@@ -277,3 +277,37 @@ def test_reflect_fold_matches_pad_adjoint(rng):
             v, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect"), x)
         np.testing.assert_allclose(np.asarray(got), np.asarray(vjp(g)[0]),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_block_tail_bwd_kernel_matches_autodiff(rng):
+    """The one-pass Pallas tail backward must match jax.vjp of the XLA
+    composition for every (pad, x_pad) combination the trunk uses —
+    cotangents for h, the (possibly padded) skip input, and all three
+    CBAM weights."""
+    from ducosy_tpu.ops.pallas.cbam_block import (
+        _xla_block_tail, block_tail_bwd_pallas)
+    from ducosy_tpu.ops.pallas.instance_norm import EPS, reflect_pad_adjoint
+
+    c = 128
+    h = jnp.asarray(rng.standard_normal((2, 12, 12, c)), jnp.float32)
+    w1, w2, wsa = _tail_params(rng, c, r=8)
+    for pad in (0, 1):
+        for x_pad in (0, 1):
+            x = jnp.asarray(
+                rng.standard_normal((2, 12 + 2 * x_pad, 12 + 2 * x_pad, c)),
+                jnp.float32)
+            g = jnp.asarray(
+                rng.standard_normal((2, 12 + 2 * pad, 12 + 2 * pad, c)),
+                jnp.float32)
+            _, vjp = jax.vjp(
+                lambda *a: _xla_block_tail(*a, EPS, 0, x_pad),
+                h, x, w1, w2, wsa)
+            want = vjp(reflect_pad_adjoint(g, pad).astype(g.dtype))
+            got = block_tail_bwd_pallas(h, g, w1, w2, wsa, eps=EPS,
+                                        pad=pad, x_pad=x_pad,
+                                        interpret=True)
+            for name, a, b in zip(("dh", "dx", "dw1", "dw2", "dwsa"),
+                                  got, want):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
+                    err_msg=f"{name} pad={pad} x_pad={x_pad}")
