@@ -358,7 +358,7 @@ def packed16_reflect_pad3(x, c: int):
 
 def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
                            use_cbam: bool = True, dtype=jnp.bfloat16,
-                           trunk: str = "auto"):
+                           trunk: str = "auto", encoder_fused: bool = True):
     """Generator forward entirely in packed (space-to-depth) layout outside
     the trunk: one s2d at the input, one tiny d2s at the (128^2, 16)
     output, MXU-shaped convs everywhere between. Exact to bf16 rounding
@@ -390,21 +390,37 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     h = h[:, :h_out, :h_out] + jnp.tile(p["stem"]["bias"], 4).astype(dtype)
     h = packed_in_relu(h, 4)                       # true 512^2 x base
 
+    pallas_trunk = trunk == "pallas" and use_cbam
+    # encoder_fused routes down1/down2's norms (TRUE-layout channels,
+    # unlike the phase-packed stem/decoder stages) through the Pallas IN,
+    # with down2's folding the trunk's priming reflect-pad into its output
+    # write: measured +5.8% on the inference forward (44.0 -> 41.6 ms at
+    # batch 8 x 512^2). INFERENCE ONLY: under grad, the custom-VJP
+    # boundaries at these 256^2-scale shapes materialize residuals XLA
+    # otherwise fuses away and the batch-8 train step OOMs HBM (22 GB need
+    # vs 15.75) — the train step passes encoder_fused=False.
+    enc_fused = pallas_trunk and encoder_fused
+    eps = EPS_INSTANCE_NORM
     w_d1 = down_conv_packed_kernel(p["down1"]["kernel"]).astype(dtype)
     h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
     h = _conv(h, w_d1, dtype=dtype) + p["down1"]["bias"].astype(dtype)
-    h = _instance_norm_xla(h, relu=True)           # true 256^2 x 2base
+    if enc_fused:
+        h = instance_norm_fused(h, True, eps, 0)   # true 256^2 x 2base
+    else:
+        h = _instance_norm_xla(h, relu=True)
 
     h = _conv(h, p["down2"]["kernel"], p["down2"]["bias"], stride=2,
               padding=((1, 1), (1, 1)), dtype=dtype)
-    h = _instance_norm_xla(h, relu=True)           # true 128^2 x 4base
 
     # ---- trunk
-    eps = EPS_INSTANCE_NORM
-    if trunk == "pallas" and use_cbam:
-        # fully fused: the padded activation is the loop carry; the only
-        # pad op in the whole trunk is the one priming it
-        hp = reflect_pad(h, 1)
+    if pallas_trunk:
+        # fully fused: the padded activation is the loop carry; down2's
+        # pad-folded norm primes it (encoder_fused) or a standalone pad
+        # does, and the trunk itself contains zero standalone pad ops
+        if enc_fused:
+            hp = instance_norm_fused(h, True, eps, 1)  # 128^2 x 4base
+        else:
+            hp = reflect_pad(_instance_norm_xla(h, relu=True), 1)
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
             t = _conv(hp, bp["conv1"]["kernel"], bp["conv1"]["bias"],
@@ -419,6 +435,7 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
                                   0 if last else 1, 1)
         h = hp
     else:
+        h = _instance_norm_xla(h, relu=True)       # true 128^2 x 4base
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
             t = reflect_pad(h, 1)

@@ -136,6 +136,11 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
 
     grid = (n, c // bc)
     out_shape = (n, h + 2 * pad, w + 2 * pad, c)
+    # scoped VMEM = double-buffered in+out windows + working registers;
+    # size the limit to the shape (encoder blocks at 256^2 x 128ch need
+    # ~96 MB) instead of one fixed number, capped at the v5e's 128 MB
+    window = (h + 2 * pad) * (w + 2 * pad) * bc * x.dtype.itemsize
+    limit = min(int(4.5 * window) + 32 * 1024 * 1024, 128 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_kernel, relu=relu, eps=eps, pad=pad),
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
@@ -149,8 +154,7 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
                                memory_space=pltpu.ANY
                                if interpret else pltpu.VMEM),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
     )(x)
 
 
@@ -206,6 +210,10 @@ def instance_norm_bwd_pallas(x: jax.Array, g: jax.Array, *,
     if c % bc != 0:
         bc = c
     vspace = pltpu.ANY if interpret else pltpu.VMEM
+    # x + g + dx double-buffered windows plus working registers; shape-
+    # aware like the forward (encoder shapes at 256^2 x 128ch)
+    window = (h + 2 * pad) * (w + 2 * pad) * bc * x.dtype.itemsize
+    limit = min(int(6.5 * window) + 24 * 1024 * 1024, 128 * 1024 * 1024)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, relu=relu, eps=eps, pad=pad),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c), x.dtype),
@@ -219,8 +227,7 @@ def instance_norm_bwd_pallas(x: jax.Array, g: jax.Array, *,
         out_specs=pl.BlockSpec((1, h, w, bc), lambda i, j: (i, 0, 0, j),
                                memory_space=vspace),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
     )(x, g)
 
 
@@ -279,7 +286,13 @@ _PALLAS_BWD = True  # A/B switch: False forces the XLA analytic backward
 
 
 def _bwd(relu, eps, pad, x, g):
-    if _PALLAS_BWD and pallas_available():
+    # The one-pass Pallas backward fits VMEM for trunk-sized blocks; at
+    # encoder shapes (256^2 x 128ch windows) its spill set alone exceeds
+    # the chip (measured 160 MB need vs 128), so those shapes keep the
+    # analytic XLA backward. Threshold = the bf16 trunk window size.
+    n, h, w, c = x.shape
+    window = h * w * min(128, c) * x.dtype.itemsize
+    if _PALLAS_BWD and window <= 8 * 1024 * 1024 and pallas_available():
         return (instance_norm_bwd_pallas(x, g, relu=relu, eps=eps, pad=pad),)
     g = reflect_pad_adjoint(g.astype(_jnp.float32), pad)
     x32 = x.astype(_jnp.float32)

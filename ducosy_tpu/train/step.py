@@ -78,9 +78,11 @@ def make_train_step(gen, disc, cfg: TrainConfig,
         # the space-to-depth forward (models/fused.py) — same params, same
         # function, MXU-shaped convs; gradients are exact (tested)
         from ducosy_tpu.models.fused import generator_apply_packed
+        # encoder_fused=False: the inference-only encoder-norm fusion OOMs
+        # HBM under grad at batch 8 x 512^2 (models/fused.py docstring)
         gen_apply = lambda p, x: generator_apply_packed(
             p, x, num_residual_blocks=gen.num_residual_blocks,
-            use_cbam=gen.use_cbam, dtype=gen.dtype)
+            use_cbam=gen.use_cbam, dtype=gen.dtype, encoder_fused=False)
     else:
         gen_apply = lambda p, x: gen.apply({"params": p}, x)
     disc_apply = lambda p, x: disc.apply({"params": p}, x)

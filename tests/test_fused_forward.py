@@ -143,12 +143,15 @@ def test_packed_forward_grads_flow(rng):
                                    rtol=5e-3, atol=1e-6, err_msg=key)
 
 
-def test_packed_forward_pallas_trunk_matches_module(rng):
+@pytest.mark.parametrize("encoder_fused", [True, False])
+def test_packed_forward_pallas_trunk_matches_module(rng, encoder_fused):
     """trunk="pallas": the fully fused trunk (pad-folded IN + block tail
     with padded-carry skip) must match the Flax module — forward and
     gradients (CPU exercises the composition through the kernels' XLA
     fallbacks; the compiled path is covered in interpret mode in
-    test_pallas.py and A/B'd on hardware)."""
+    test_pallas.py and A/B'd on hardware). encoder_fused=True is the
+    inference composition (down1/down2 norms through the fused IN, down2's
+    priming the trunk carry); False is the training composition."""
     from ducosy_tpu.models.fused import generator_apply_packed
 
     gen = Generator(input_channels=1, num_residual_blocks=3, use_cbam=True,
@@ -157,7 +160,8 @@ def test_packed_forward_pallas_trunk_matches_module(rng):
     params = gen.init(jax.random.PRNGKey(0), x)["params"]
     ref = gen.apply({"params": params}, x)
     out = generator_apply_packed(params, x, num_residual_blocks=3,
-                                 dtype=jnp.float32, trunk="pallas")
+                                 dtype=jnp.float32, trunk="pallas",
+                                 encoder_fused=encoder_fused)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
 
@@ -166,7 +170,8 @@ def test_packed_forward_pallas_trunk_matches_module(rng):
         (gen.apply({"params": p}, x) - tgt) ** 2))(params)
     g_pk = jax.grad(lambda p: jnp.mean(
         (generator_apply_packed(p, x, num_residual_blocks=3,
-                                dtype=jnp.float32, trunk="pallas")
+                                dtype=jnp.float32, trunk="pallas",
+                                encoder_fused=encoder_fused)
          - tgt) ** 2))(params)
     for (key, a), b in zip(
             jax.tree_util.tree_leaves_with_path(g_ref),
