@@ -39,6 +39,12 @@ from ducosy_tpu.models.layers import EPS_INSTANCE_NORM, prec_for, reflect_pad
 from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
 from ducosy_tpu.ops.pallas.instance_norm import instance_norm_fused
 
+# Phase-grouped Pallas IN window cap (bytes): packed norms whose full-channel
+# block is at most this large route through the phase-pooling kernel when
+# encoder_fused; larger windows (stem/up2 at 32 MB) exceed Mosaic's scoped
+# VMEM and stay on XLA. A/B knob — 0 disables phase fusion entirely.
+_PHASE_FUSE_CAP = 16 * 2 ** 20
+
 
 def _conv(x, kernel, bias=None, *, stride=1, padding="VALID", dtype=None):
     dims = ("NHWC", "HWIO", "NHWC")
@@ -388,19 +394,32 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     h = _conv(s, w_stem, dtype=dtype)
     h_out = (x.shape[1] + 6 - p["stem"]["kernel"].shape[0] + 1) // 2
     h = h[:, :h_out, :h_out] + jnp.tile(p["stem"]["bias"], 4).astype(dtype)
-    h = packed_in_relu(h, 4)                       # true 512^2 x base
 
     pallas_trunk = trunk == "pallas" and use_cbam
-    # encoder_fused routes down1/down2's norms (TRUE-layout channels,
-    # unlike the phase-packed stem/decoder stages) through the Pallas IN,
-    # with down2's folding the trunk's priming reflect-pad into its output
-    # write: measured +5.8% on the inference forward (44.0 -> 41.6 ms at
-    # batch 8 x 512^2). INFERENCE ONLY: under grad, the custom-VJP
-    # boundaries at these 256^2-scale shapes materialize residuals XLA
-    # otherwise fuses away and the batch-8 train step OOMs HBM (22 GB need
-    # vs 15.75) — the train step passes encoder_fused=False.
+    # encoder_fused routes every non-trunk norm through the Pallas IN:
+    # down1/down2's directly (TRUE-layout channels; down2's folds the
+    # trunk's priming reflect-pad into its output write — measured +5.8%
+    # on the inference forward, 44.0 -> 41.6 ms at batch 8 x 512^2), and
+    # the phase-packed stem/up1/up2 norms via the kernel's phase-group
+    # pooling. INFERENCE ONLY: under grad, the custom-VJP boundaries at
+    # these 256^2-scale shapes materialize residuals XLA otherwise fuses
+    # away and the batch-8 train step OOMs HBM (22 GB need vs 15.75) —
+    # the train step passes encoder_fused=False.
     enc_fused = pallas_trunk and encoder_fused
+
+    def _phase_norm(t, groups):
+        # phase-grouped Pallas IN only where the full-channel block fits
+        # VMEM: the phase groups stride the whole packed axis, so the
+        # kernel needs every channel in one block — at 16 MB windows it
+        # compiles (up1); at 32 MB (stem/up2) Mosaic needs 192 MB scoped
+        # (2x double-buffered window + spills) and the XLA norm stays.
+        n_, h_, w_, cf_ = t.shape
+        if enc_fused and h_ * w_ * cf_ * t.dtype.itemsize <= _PHASE_FUSE_CAP:
+            return instance_norm_fused(t, True, eps, 0, groups)
+        return packed_in_relu(t, groups)
+
     eps = EPS_INSTANCE_NORM
+    h = _phase_norm(h, 4)                          # true 512^2 x base
     w_d1 = down_conv_packed_kernel(p["down1"]["kernel"]).astype(dtype)
     h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
     h = _conv(h, w_d1, dtype=dtype) + p["down1"]["bias"].astype(dtype)
@@ -457,14 +476,14 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     h = _conv(h, w_u1.astype(dtype), dtype=dtype)
     h = h + jnp.tile(p["up1"]["bias"], 4).astype(dtype)
-    h = packed_in_relu(h, 4)                       # packed-4 of 256^2 x co1
+    h = _phase_norm(h, 4)                          # packed-4 of 256^2 x co1
 
     co2 = p["up2"]["kernel"].shape[3]
     w_u2 = up2_packed_kernel(p["up2"]["kernel"].astype(jnp.float32))
     h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
     h = _conv(h, w_u2.astype(dtype), dtype=dtype)
     h = h + jnp.tile(p["up2"]["bias"], 16).astype(dtype)
-    h = packed_in_relu(h, 16)                      # packed-16 of 512^2 x co2
+    h = _phase_norm(h, 16)                         # packed-16 of 512^2 x co2
 
     w_hd = head_packed_kernel(p["head"]["kernel"].astype(jnp.float32))
     h = packed16_reflect_pad3(h, co2)

@@ -93,14 +93,33 @@ def pallas_available() -> bool:
         return False
 
 
-def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int):
+def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int,
+            phases: int = 1):
     x = x_ref[...]                               # (1, H, W, Cb), io dtype
-    count = x.shape[0] * x.shape[1] * x.shape[2]
+    count = x.shape[0] * x.shape[1] * x.shape[2] * phases
     # fp32 ACCUMULATION without materializing an fp32 copy of the block
     # (a full f32 cast of a 4 MB bf16 block doubles VMEM pressure and OOMs)
     s = jnp.sum(x, axis=(0, 1, 2), keepdims=True, dtype=jnp.float32)
     sq = jnp.sum(jnp.square(x), axis=(0, 1, 2), keepdims=True,
                  dtype=jnp.float32)
+    if phases > 1:
+        # phase-packed (space-to-depth) tensor: channel index is
+        # phase*C + c and the statistics pool over (H, W, phases) per
+        # TRUE channel — reduce the per-packed-channel sums over the
+        # phase-major groups and broadcast back (models/fused.py
+        # packed_in_relu semantics). Built from lane-dim slices + adds +
+        # concat: Mosaic cannot lower a rank-changing vector reshape
+        # ("unsupported shape cast" on (Cf,) -> (phases, C)).
+        c = s.shape[-1] // phases
+
+        def _phase_sum(t):
+            tot = t[..., 0:c]
+            for k in range(1, phases):
+                tot = tot + t[..., k * c:(k + 1) * c]
+            return jnp.concatenate([tot] * phases, axis=-1)
+
+        s = _phase_sum(s)
+        sq = _phase_sum(sq)
     mean = s / count
     var = jnp.maximum(sq / count - mean * mean, 0.0)
     scale = jax.lax.rsqrt(var + eps)
@@ -117,12 +136,18 @@ def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("relu", "eps", "block_c", "interpret",
-                                    "pad"))
+                                    "pad", "phases"))
 def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
                          eps: float = EPS, block_c: int = 128,
-                         interpret: bool = False, pad: int = 0) -> jax.Array:
+                         interpret: bool = False, pad: int = 0,
+                         phases: int = 1) -> jax.Array:
     """InstanceNorm over H, W of an NHWC tensor, optionally fused with ReLU
     and a trailing reflect-pad of `pad` pixels (output (N, H+2p, W+2p, C)).
+
+    ``phases`` > 1 treats the input as a phase-major space-to-depth packed
+    tensor (channel index phase*C + c): statistics pool over (H, W, phases)
+    per true channel. The channel block must then cover ALL channels (the
+    phase groups stride the whole packed axis), so the grid is N alone.
 
     Falls back to requiring C % block_c == 0 or C <= block_c (then one block
     covers all channels)."""
@@ -131,8 +156,8 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
 
     n, h, w, c = x.shape
     bc = min(block_c, c)
-    if c % bc != 0:
-        bc = c  # degenerate channel counts: one block over all channels
+    if c % bc != 0 or phases > 1:
+        bc = c  # phase pooling / degenerate counts: one block, all channels
 
     grid = (n, c // bc)
     out_shape = (n, h + 2 * pad, w + 2 * pad, c)
@@ -141,8 +166,14 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
     # ~96 MB) instead of one fixed number, capped at the v5e's 128 MB
     window = (h + 2 * pad) * (w + 2 * pad) * bc * x.dtype.itemsize
     limit = min(int(4.5 * window) + 32 * 1024 * 1024, 128 * 1024 * 1024)
+    if phases > 1:
+        # full-channel blocks (the phase groups stride the whole packed
+        # axis) need the chip's whole scoped budget: measured 109 MB at
+        # the (128, 128, 512) bf16 up1 window
+        limit = 128 * 1024 * 1024
     return pl.pallas_call(
-        functools.partial(_kernel, relu=relu, eps=eps, pad=pad),
+        functools.partial(_kernel, relu=relu, eps=eps, pad=pad,
+                          phases=phases),
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((1, h, w, bc),
@@ -231,18 +262,33 @@ def instance_norm_bwd_pallas(x: jax.Array, g: jax.Array, *,
     )(x, g)
 
 
-def _xla_forward(x, relu, eps, pad=0):
+def _phase_stats(x32, phases, eps):
+    """fp32 (mean, inv_std) pooled over (H, W[, phase groups]) — broadcast
+    back to the packed channel axis when phases > 1."""
+    if phases == 1:
+        mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+        return mean, jax.lax.rsqrt(var + eps)
+    n, h, w, cf = x32.shape
+    g = x32.reshape(n, h, w, phases, cf // phases)
+    mean = _jnp.mean(g, axis=(1, 2, 3), keepdims=True)
+    var = _jnp.mean(_jnp.square(g - mean), axis=(1, 2, 3), keepdims=True)
+    tile = lambda t: _jnp.broadcast_to(
+        t, (n, 1, 1, phases, cf // phases)).reshape(n, 1, 1, cf)
+    return tile(mean), tile(jax.lax.rsqrt(var + eps))
+
+
+def _xla_forward(x, relu, eps, pad=0, phases=1):
     x32 = x.astype(_jnp.float32)
-    mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    mean, inv = _phase_stats(x32, phases, eps)
+    y = (x32 - mean) * inv
     if relu:
         y = _jnp.maximum(y, 0.0)
     y = y.astype(x.dtype)
     if pad:
         y = _jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                      mode="reflect")
-    return y, var
+    return y, None
 
 
 def reflect_pad_adjoint(g, pad: int):
@@ -267,44 +313,57 @@ def reflect_pad_adjoint(g, pad: int):
     return fold(fold(g, 1), 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def instance_norm_fused(x, relu: bool = False, eps: float = EPS,
-                        pad: int = 0):
+                        pad: int = 0, phases: int = 1):
     """InstanceNorm(+ReLU)(+reflect-pad) — Pallas kernel on TPU, XLA
-    elsewhere; supports reverse-mode AD via an analytic backward pass."""
+    elsewhere; supports reverse-mode AD via an analytic backward pass.
+    ``phases`` > 1 pools the statistics over phase-major space-to-depth
+    groups (models/fused.py packed_in_relu semantics)."""
     if pallas_available():
-        return instance_norm_pallas(x, relu=relu, eps=eps, pad=pad)
-    return _xla_forward(x, relu, eps, pad)[0]
+        return instance_norm_pallas(x, relu=relu, eps=eps, pad=pad,
+                                    phases=phases)
+    return _xla_forward(x, relu, eps, pad, phases)[0]
 
 
-def _fwd(x, relu, eps, pad):
-    y = instance_norm_fused(x, relu, eps, pad)
+def _fwd(x, relu, eps, pad, phases):
+    y = instance_norm_fused(x, relu, eps, pad, phases)
     return y, x  # save the input; backward recomputes exact fp32 stats
 
 
 _PALLAS_BWD = True  # A/B switch: False forces the XLA analytic backward
 
 
-def _bwd(relu, eps, pad, x, g):
+def _group_mean(t, phases):
+    """fp32 mean over (H, W[, phase groups]), broadcast back to NHWC."""
+    if phases == 1:
+        return _jnp.mean(t, axis=(1, 2), keepdims=True)
+    n, h, w, cf = t.shape
+    m = _jnp.mean(t.reshape(n, h, w, phases, cf // phases),
+                  axis=(1, 2, 3), keepdims=True)
+    return _jnp.broadcast_to(
+        m, (n, 1, 1, phases, cf // phases)).reshape(n, 1, 1, cf)
+
+
+def _bwd(relu, eps, pad, phases, x, g):
     # The one-pass Pallas backward fits VMEM for trunk-sized blocks; at
     # encoder shapes (256^2 x 128ch windows) its spill set alone exceeds
     # the chip (measured 160 MB need vs 128), so those shapes keep the
     # analytic XLA backward. Threshold = the bf16 trunk window size.
     n, h, w, c = x.shape
     window = h * w * min(128, c) * x.dtype.itemsize
-    if _PALLAS_BWD and window <= 8 * 1024 * 1024 and pallas_available():
+    if (_PALLAS_BWD and phases == 1 and window <= 8 * 1024 * 1024
+            and pallas_available()):
         return (instance_norm_bwd_pallas(x, g, relu=relu, eps=eps, pad=pad),)
     g = reflect_pad_adjoint(g.astype(_jnp.float32), pad)
     x32 = x.astype(_jnp.float32)
-    mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    inv = jax.lax.rsqrt(var + eps)
+    mean, inv = _phase_stats(x32, phases, eps)
     y_pre = (x32 - mean) * inv            # pre-ReLU normalized value
     g32 = g
     if relu:
         g32 = g32 * (y_pre > 0)           # ReLU mask on the output grad
-    mg = _jnp.mean(g32, axis=(1, 2), keepdims=True)
-    mgy = _jnp.mean(g32 * y_pre, axis=(1, 2), keepdims=True)
+    mg = _group_mean(g32, phases)
+    mgy = _group_mean(g32 * y_pre, phases)
     dx = (g32 - mg - y_pre * mgy) * inv
     return (dx.astype(x.dtype),)
 

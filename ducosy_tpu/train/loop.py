@@ -46,6 +46,29 @@ from ducosy_tpu.utils.imaging import save_comparison_grid
 from ducosy_tpu.utils.logging import MetricsLogger, StepTimer
 
 
+def _is_oom_error(e: BaseException) -> bool:
+    """HBM exhaustion classifier for the remat="auto" fallback. XLA has no
+    typed OOM exception — it surfaces as a runtime error whose status text
+    carries RESOURCE_EXHAUSTED — so require BOTH the runtime-error type
+    (when the running jaxlib exposes one) and the status text, keeping an
+    unrelated error that merely mentions memory from triggering a silent
+    retry."""
+    types: tuple = ()
+    try:
+        from jax.errors import JaxRuntimeError
+        types += (JaxRuntimeError,)
+    except ImportError:  # pragma: no cover - older jax
+        pass
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+        types += (XlaRuntimeError,)
+    except ImportError:  # pragma: no cover - jaxlib layout changed
+        pass
+    msg = str(e)
+    texty = "RESOURCE_EXHAUSTED" in msg or "out of memory" in msg.lower()
+    return texty and (not types or isinstance(e, types))
+
+
 def _to_device_batch(mesh, batch: Dict[str, np.ndarray]):
     # single-process: device_put with batch sharding; multi-host: assemble
     # the global array from this process's rows (the per-host input feed)
@@ -182,8 +205,8 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
             except Exception as e:
                 # remat="auto": fall back to rematerialized generator
                 # forwards when the un-remat'd step exhausts HBM
-                oom = "RESOURCE_EXHAUSTED" in str(e) or                     "out of memory" in str(e).lower()
-                if not (cfg.remat == "auto" and not remat_active and oom):
+                if not (cfg.remat == "auto" and not remat_active
+                        and _is_oom_error(e)):
                     raise
                 print("train step exceeded HBM; retrying with remat'd "
                       "generator forwards")

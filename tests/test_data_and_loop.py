@@ -185,3 +185,25 @@ def test_epoch_snapshot_keep_zero_keeps_all(tmp_path):
         save_epoch_snapshots(str(tmp_path), epoch, params, params, keep=0)
     kept = [f for f in os.listdir(str(tmp_path)) if "_epoch_" in f]
     assert len(kept) == 6
+
+
+def test_is_oom_error_classifier():
+    """remat="auto" must only fall back on genuine XLA memory exhaustion:
+    type-checked (when jaxlib exposes a runtime-error type) AND
+    status-text-checked."""
+    from ducosy_tpu.train.loop import _is_oom_error
+
+    try:
+        from jaxlib.xla_extension import XlaRuntimeError
+    except ImportError:
+        XlaRuntimeError = None
+
+    if XlaRuntimeError is not None:
+        assert _is_oom_error(
+            XlaRuntimeError("RESOURCE_EXHAUSTED: ran out of HBM"))
+        # right type, wrong status -> not OOM
+        assert not _is_oom_error(XlaRuntimeError("INVALID_ARGUMENT: shape"))
+        # right text, wrong type -> not OOM (a ValueError quoting a log
+        # line must not trigger a silent retry)
+        assert not _is_oom_error(ValueError("RESOURCE_EXHAUSTED said XLA"))
+    assert not _is_oom_error(RuntimeError("unrelated failure"))

@@ -251,7 +251,7 @@ def test_bwd_kernel_interpret_matches_analytic(rng):
             g = jnp.asarray(
                 rng.standard_normal((2, 12 + 2 * pad, 12 + 2 * pad, 128)),
                 jnp.float32)
-            want = inmod._bwd(relu, EPS, pad, x, g)[0]
+            want = inmod._bwd(relu, EPS, pad, 1, x, g)[0]
             got = instance_norm_bwd_pallas(x, g, relu=relu, pad=pad,
                                            interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(want),
@@ -311,3 +311,43 @@ def test_block_tail_bwd_kernel_matches_autodiff(rng):
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4,
                     err_msg=f"{name} pad={pad} x_pad={x_pad}")
+
+
+def test_phase_grouped_interpret_matches_packed_in_relu(rng):
+    """phases > 1: statistics pool over (H, W, phase groups) of a phase-
+    major space-to-depth tensor — must match models/fused.packed_in_relu
+    (forward) for both packing factors the packed generator uses."""
+    from ducosy_tpu.models.fused import packed_in_relu
+
+    for phases, c in ((4, 32), (16, 8)):
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, phases * c)),
+                        jnp.float32)
+        want = packed_in_relu(x, phases)
+        got = instance_norm_pallas(x, relu=True, phases=phases,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=f"phases={phases}")
+
+
+def test_phase_grouped_fallback_and_grad(rng):
+    """CPU path of instance_norm_fused with phases: forward equals
+    packed_in_relu; the analytic VJP equals jax.grad through it."""
+    from ducosy_tpu.models.fused import packed_in_relu
+    from ducosy_tpu.ops.pallas.instance_norm import EPS
+
+    phases, c = 4, 8
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, phases * c)), jnp.float32)
+    tangent = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+
+    got = instance_norm_fused(x, True, EPS, 0, phases)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(packed_in_relu(x, phases)),
+                               rtol=1e-5, atol=1e-6)
+
+    g_ref = jax.grad(lambda v: jnp.sum(packed_in_relu(v, phases)
+                                       * tangent))(x)
+    g_fused = jax.grad(lambda v: jnp.sum(
+        instance_norm_fused(v, True, EPS, 0, phases) * tangent))(x)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_ref),
+                               rtol=2e-3, atol=1e-5)
