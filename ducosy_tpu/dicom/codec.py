@@ -401,6 +401,11 @@ def dcmread(path_or_bytes, *, stop_before_pixels: bool = False) -> Dataset:
             ds.transfer_syntax_uid = EXPLICIT_VR_LE
             _read_dataset(f, ds, explicit=True,
                           stop_before_pixels=stop_before_pixels)
+            if not ds._elements:
+                # nothing parsed: garbage / truncated-below-one-element
+                # input, not a headerless dataset
+                raise EOFError("not a DICOM stream (no preamble and no "
+                               "parseable elements)")
             return ds
 
         # file meta group: always explicit VR LE

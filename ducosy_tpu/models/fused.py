@@ -42,8 +42,13 @@ from ducosy_tpu.ops.pallas.instance_norm import instance_norm_fused
 # Phase-grouped Pallas IN window cap (bytes): packed norms whose full-channel
 # block is at most this large route through the phase-pooling kernel when
 # encoder_fused; larger windows (stem/up2 at 32 MB) exceed Mosaic's scoped
-# VMEM and stay on XLA. A/B knob — 0 disables phase fusion entirely.
-_PHASE_FUSE_CAP = 16 * 2 ** 20
+# VMEM and stay on XLA regardless. A/B knob — 0 disables phase fusion.
+# DEFAULT 0: at 16 MB the up1 norm fuses and wins +3.9% on the standalone
+# batch-8 forward, but LOSES -2.3% on the production engine pipeline
+# (batch-32 chunks under lax.map; scripts/ab_engine_phase.py) — the
+# full-channel grid serializes over N and the win inverts at engine batch.
+# Re-A/B per toolchain/batch; only full-pipeline numbers count.
+_PHASE_FUSE_CAP = 0
 
 
 def _conv(x, kernel, bias=None, *, stride=1, padding="VALID", dtype=None):

@@ -149,3 +149,13 @@ def test_compressed_rejected(tmp_path):
     p2.write_bytes(bytes(raw))
     with pytest.raises(NotImplementedError):
         dcmread(str(p2))
+
+
+def test_garbage_file_raises(tmp_path):
+    """A non-DICOM file must raise, not yield an empty Dataset — the
+    reference surfaces pydicom's InvalidDicomError on such inputs."""
+    for payload in (b"", b"DICM", b"\x00" * 7):
+        p = tmp_path / "junk.dcm"
+        p.write_bytes(payload)
+        with pytest.raises(EOFError):
+            dcmread(str(p))
