@@ -53,6 +53,12 @@ def parse_args(argv=None):
     p.add_argument("--num_devices", type=int, default=None,
                    help="shard each slice chunk over the first N devices "
                         "(default: single device)")
+    p.add_argument("--trunk_int8", action="store_true",
+                   help="quantized serving: generator trunk convs on the "
+                        "int8 MXU path (throughput-neutral on the current "
+                        "v5e toolchain — requant traffic offsets the MXU "
+                        "gain; adds ~2.7 HU mean deviation vs bf16 — "
+                        "validate on your checkpoints; see docs/PERF.md)")
     return p.parse_args(argv)
 
 
@@ -78,7 +84,7 @@ def load_engine(args):
     return DualGeneratorEngine(load(args.soft_tissue_model),
                                load(args.lung_model),
                                img_size=args.img_size, compute_dtype=dtype,
-                               mesh=mesh)
+                               mesh=mesh, trunk_int8=args.trunk_int8)
 
 
 def _read_series(folder):

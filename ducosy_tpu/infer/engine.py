@@ -47,7 +47,7 @@ class DualGeneratorEngine:
                  model_cfg: ModelConfig = ModelConfig(),
                  img_size: int = 512, compute_dtype=jnp.bfloat16,
                  fused_norm: bool = False, mesh=None,
-                 forward: str = "auto"):
+                 forward: str = "auto", trunk_int8: bool = False):
         # fused_norm routes InstanceNorm through the Pallas kernel. Round-1
         # measurements had it +17% on this pipeline; the libtpu/XLA upgrade
         # since then improved XLA's own IN fusion and flipped the A/B
@@ -111,6 +111,10 @@ class DualGeneratorEngine:
             forward = "packed" if (img_size % 4 == 0 and
                                    pallas_available()) else "module"
         self.forward_impl = forward
+        # trunk_int8 (packed forward only): quantized serving — the trunk
+        # convs run int8 on the MXU's double-rate path. Opt-in; fidelity is
+        # checkpoint-dependent (see docs/PERF.md), validate on your data.
+        self.trunk_int8 = trunk_int8 and forward == "packed"
         self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,
                                 static_argnames=("out_h", "out_w"))
@@ -129,7 +133,8 @@ class DualGeneratorEngine:
             return generator_apply_packed(
                 params, x,
                 num_residual_blocks=generator.num_residual_blocks,
-                use_cbam=generator.use_cbam, dtype=self.compute_dtype)
+                use_cbam=generator.use_cbam, dtype=self.compute_dtype,
+                trunk_int8=self.trunk_int8)
         return generator.apply({"params": params}, x)
 
     def _apply_one(self, params, x):

@@ -65,6 +65,38 @@ def _conv(x, kernel, bias=None, *, stride=1, padding="VALID", dtype=None):
     return y
 
 
+def _conv_int8(x, kernel, bias=None, *, padding="VALID"):
+    """3x3 conv on the int8 MXU path (~1.6x bf16 measured on v5e).
+
+    Weights: symmetric per-output-channel int8 — every trunk conv feeds an
+    InstanceNorm, which is invariant to per-channel scaling of its input,
+    so the only weight-quantization artifact that survives is the <=2^-8
+    rounding noise (the bias is scaled into the same grid implicitly by
+    dequantizing before the add). Activations: symmetric per-sample
+    dynamic int8 (scale from that sample's amax — trunk activations are
+    IN-normalized or residual sums thereof, so the amax is well-behaved).
+    Quantization happens in-graph from the regular params; under lax.map
+    the weight-side ops are loop-invariant and cost ~10M elementwise ops
+    against the ~10 GFLOP conv. Accumulation is exact int32."""
+    w32 = kernel.astype(jnp.float32)
+    ws = jnp.max(jnp.abs(w32), axis=(0, 1, 2), keepdims=True)
+    ws = jnp.maximum(ws, 1e-12) / 127.0                    # (1,1,1,Co)
+    wq = jnp.round(w32 / ws).astype(jnp.int8)
+
+    x32 = x.astype(jnp.float32)
+    xs = jnp.max(jnp.abs(x32), axis=(1, 2, 3), keepdims=True)
+    xs = jnp.maximum(xs, 1e-12) / 127.0                    # (N,1,1,1)
+    xq = jnp.round(x32 / xs).astype(jnp.int8)
+
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), padding, dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * (xs * ws.reshape(1, 1, 1, -1))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def _instance_norm_xla(x, relu):
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
@@ -369,7 +401,8 @@ def packed16_reflect_pad3(x, c: int):
 
 def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
                            use_cbam: bool = True, dtype=jnp.bfloat16,
-                           trunk: str = "auto", encoder_fused: bool = True):
+                           trunk: str = "auto", encoder_fused: bool = True,
+                           trunk_int8: bool = False):
     """Generator forward entirely in packed (space-to-depth) layout outside
     the trunk: one s2d at the input, one tiny d2s at the (128^2, 16)
     output, MXU-shaped convs everywhere between. Exact to bf16 rounding
@@ -411,6 +444,16 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     # away and the batch-8 train step OOMs HBM (22 GB need vs 15.75) —
     # the train step passes encoder_fused=False.
     enc_fused = pallas_trunk and encoder_fused
+    # trunk_int8: inference-only quantized serving mode — the 18 trunk
+    # convs (60% of forward FLOPs) run on the int8 MXU path (~1.6x bf16
+    # throughput measured); encoder/decoder/CBAM/norms stay bf16. Opt-in:
+    # quality is checkpoint-dependent, gate on measured SSIM/HU deltas
+    # (tests/test_fused_forward.py has the mechanism check, docs/PERF.md
+    # the measured fidelity on random-init params).
+    conv_trunk = _conv_int8 if trunk_int8 else \
+        (lambda x_, k_, b_, padding="VALID": _conv(x_, k_, b_,
+                                                   padding=padding,
+                                                   dtype=dtype))
 
     def _phase_norm(t, groups):
         # phase-grouped Pallas IN only where the full-channel block fits
@@ -447,11 +490,9 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
             hp = reflect_pad(_instance_norm_xla(h, relu=True), 1)
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
-            t = _conv(hp, bp["conv1"]["kernel"], bp["conv1"]["bias"],
-                      dtype=dtype)
+            t = conv_trunk(hp, bp["conv1"]["kernel"], bp["conv1"]["bias"])
             t = instance_norm_fused(t, True, eps, 1)
-            t = _conv(t, bp["conv2"]["kernel"], bp["conv2"]["bias"],
-                      dtype=dtype)
+            t = conv_trunk(t, bp["conv2"]["kernel"], bp["conv2"]["bias"])
             last = i == num_residual_blocks - 1
             hp = block_tail_fused(t, hp, bp["ca"]["fc1"]["kernel"],
                                   bp["ca"]["fc2"]["kernel"],
@@ -463,11 +504,9 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
             t = reflect_pad(h, 1)
-            t = _conv(t, bp["conv1"]["kernel"], bp["conv1"]["bias"],
-                      dtype=dtype)
+            t = conv_trunk(t, bp["conv1"]["kernel"], bp["conv1"]["bias"])
             t = reflect_pad(_instance_norm_xla(t, relu=True), 1)
-            t = _conv(t, bp["conv2"]["kernel"], bp["conv2"]["bias"],
-                      dtype=dtype)
+            t = conv_trunk(t, bp["conv2"]["kernel"], bp["conv2"]["bias"])
             if use_cbam:
                 from ducosy_tpu.ops.pallas.cbam_block import _xla_block_tail
                 h = _xla_block_tail(t, h, bp["ca"]["fc1"]["kernel"],

@@ -185,3 +185,47 @@ def test_packed_forward_pallas_trunk_matches_module(rng, encoder_fused):
         atol = 6e-5 + 2e-3 * np.max(np.abs(a))
         np.testing.assert_allclose(b, a, rtol=5e-3, atol=atol,
                                    err_msg=jax.tree_util.keystr(key))
+
+
+def test_trunk_int8_close_to_fp32(rng):
+    """Quantized-serving mode: trunk convs on the int8 path must track the
+    fp32 forward closely — every trunk conv feeds an InstanceNorm, which
+    absorbs per-channel scale error, leaving only 8-bit rounding noise."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+
+    gen = Generator(input_channels=1, num_residual_blocks=2, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(3), x)["params"]
+    ref = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32))
+    out = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32,
+        trunk_int8=True))
+    # tanh outputs in [-1, 1]; two int8 convs per block x 2 blocks of
+    # rounding noise through the norm-stabilized trunk
+    err = np.abs(out - ref)
+    assert err.max() < 0.05, err.max()
+    # 0.01 on [-1,1] ~= 2 HU in the soft-tissue window — under CT noise
+    assert err.mean() < 0.01, err.mean()
+
+
+def test_conv_int8_quantization_exact(rng):
+    """The int8 conv's accumulation is exact: it must equal the fp32 conv
+    of the quantized-and-dequantized operands."""
+    from ducosy_tpu.models.fused import _conv_int8
+
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 10, 10, 16)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+    out = np.asarray(_conv_int8(x, w, b))
+
+    ws = np.maximum(np.abs(np.asarray(w)).max(axis=(0, 1, 2)), 1e-12) / 127
+    wdq = np.round(np.asarray(w) / ws) * ws
+    xs = np.maximum(np.abs(np.asarray(x)).max(axis=(1, 2, 3)), 1e-12) / 127
+    xdq = np.round(np.asarray(x) / xs[:, None, None, None]) \
+        * xs[:, None, None, None]
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(xdq), jnp.asarray(wdq), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-5, atol=1e-5)
