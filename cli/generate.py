@@ -54,11 +54,11 @@ def parse_args(argv=None):
                    help="shard each slice chunk over the first N devices "
                         "(default: single device)")
     p.add_argument("--trunk_int8", action="store_true",
-                   help="quantized serving: generator trunk convs on the "
-                        "int8 MXU path (throughput-neutral on the current "
-                        "v5e toolchain — requant traffic offsets the MXU "
-                        "gain; adds ~2.7 HU mean deviation vs bf16 — "
-                        "validate on your checkpoints; see docs/PERF.md)")
+                   help="quantized serving: trunk convs on the int8 MXU "
+                        "path with the quantized write fused into the "
+                        "Pallas IN kernel (+2.5%% pipeline throughput on "
+                        "v5e; ~1.9 HU mean deviation vs bf16 — validate "
+                        "on your checkpoints; see docs/PERF.md)")
     return p.parse_args(argv)
 
 

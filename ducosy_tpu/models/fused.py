@@ -37,7 +37,15 @@ import jax.numpy as jnp
 
 from ducosy_tpu.models.layers import EPS_INSTANCE_NORM, prec_for, reflect_pad
 from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
-from ducosy_tpu.ops.pallas.instance_norm import instance_norm_fused
+from ducosy_tpu.ops.pallas.instance_norm import (
+    instance_norm_fused,
+    instance_norm_int8,
+)
+
+# static post-IN+ReLU activation scale for the quantized trunk: post-norm
+# values are unit-variance, so a 6-sigma ceiling on the ReLU'd half-normal
+# clips ~nothing while using the full int8 grid
+_INT8_NORM_SCALE = 6.0
 
 # Phase-grouped Pallas IN window cap (bytes): packed norms whose full-channel
 # block is at most this large route through the phase-pooling kernel when
@@ -444,12 +452,14 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     # away and the batch-8 train step OOMs HBM (22 GB need vs 15.75) —
     # the train step passes encoder_fused=False.
     enc_fused = pallas_trunk and encoder_fused
-    # trunk_int8: inference-only quantized serving mode — the 18 trunk
-    # convs (60% of forward FLOPs) run on the int8 MXU path (~1.6x bf16
-    # throughput measured); encoder/decoder/CBAM/norms stay bf16. Opt-in:
-    # quality is checkpoint-dependent, gate on measured SSIM/HU deltas
-    # (tests/test_fused_forward.py has the mechanism check, docs/PERF.md
-    # the measured fidelity on random-init params).
+    # trunk_int8: inference-only quantized serving mode — trunk convs run
+    # on the int8 MXU path (~1.6x bf16 throughput measured in isolation);
+    # encoder/decoder/CBAM/norms stay bf16. In the Pallas trunk the input
+    # quantization rides the IN kernel's output write (see the loop
+    # below); in the XLA trunk both convs use the dynamic-requant
+    # _conv_int8 via conv_trunk. Opt-in: quality is checkpoint-dependent
+    # (tests/test_fused_forward.py mechanism checks, docs/PERF.md measured
+    # fidelity on random-init params).
     conv_trunk = _conv_int8 if trunk_int8 else \
         (lambda x_, k_, b_, padding="VALID": _conv(x_, k_, b_,
                                                    padding=padding,
@@ -490,9 +500,36 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
             hp = reflect_pad(_instance_norm_xla(h, relu=True), 1)
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
-            t = conv_trunk(hp, bp["conv1"]["kernel"], bp["conv1"]["bias"])
-            t = instance_norm_fused(t, True, eps, 1)
-            t = conv_trunk(t, bp["conv2"]["kernel"], bp["conv2"]["bias"])
+            if trunk_int8:
+                # fused quantized serving: the IN kernel emits int8 at a
+                # static post-norm scale (its output write — zero
+                # standalone requant passes), conv2 runs the int8 MXU
+                # path, and dequantization folds into the conv epilogue:
+                # block_tail's leading IN is invariant to per-channel
+                # scaling, so acc*(S/127*ws_c) + b is exact-equivalent to
+                # feeding dequantized values. conv1 stays bf16 (its input
+                # is the un-normalized residual carry).
+                t = _conv(hp, bp["conv1"]["kernel"], bp["conv1"]["bias"],
+                          dtype=dtype)
+                t8 = instance_norm_int8(t, eps=eps, pad=1,
+                                        scale=_INT8_NORM_SCALE)
+                w32 = bp["conv2"]["kernel"].astype(jnp.float32)
+                ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
+                                 1e-12) / 127.0
+                wq = jnp.round(w32 / ws).astype(jnp.int8)
+                acc = jax.lax.conv_general_dilated(
+                    t8, wq, (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                dq = (ws * (_INT8_NORM_SCALE / 127.0)).reshape(1, 1, 1, -1)
+                t = (acc.astype(jnp.float32) * dq
+                     + bp["conv2"]["bias"].astype(jnp.float32)).astype(dtype)
+            else:
+                t = conv_trunk(hp, bp["conv1"]["kernel"],
+                               bp["conv1"]["bias"])
+                t = instance_norm_fused(t, True, eps, 1)
+                t = conv_trunk(t, bp["conv2"]["kernel"],
+                               bp["conv2"]["bias"])
             last = i == num_residual_blocks - 1
             hp = block_tail_fused(t, hp, bp["ca"]["fc1"]["kernel"],
                                   bp["ca"]["fc2"]["kernel"],

@@ -94,7 +94,7 @@ def pallas_available() -> bool:
 
 
 def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int,
-            phases: int = 1):
+            phases: int = 1, int8_scale: float | None = None):
     x = x_ref[...]                               # (1, H, W, Cb), io dtype
     count = x.shape[0] * x.shape[1] * x.shape[2] * phases
     # fp32 ACCUMULATION without materializing an fp32 copy of the block
@@ -131,16 +131,26 @@ def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int,
         # traversal instead of a separate pad op (each pad measured as
         # costly as a 3x3 conv at trunk shape — docs/PERF.md)
         y = reflect_pad_hw(y, pad, h_axis=1)
+    if int8_scale is not None:
+        # quantized serving: emit int8 at the static post-norm scale so the
+        # consuming conv reads half the bytes and runs the int8 MXU path
+        # with ZERO standalone requant ops. y >= 0 (relu is required), so
+        # trunc-toward-zero int8 cast of y*k + 0.5 IS round-half-up —
+        # math.roundeven does not legalize in Mosaic on this toolchain.
+        k = jnp.asarray(127.0 / int8_scale, x.dtype)
+        y = jnp.minimum(y * k + jnp.asarray(0.5, x.dtype),
+                        jnp.full((), 127.0, x.dtype))
     o_ref[...] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("relu", "eps", "block_c", "interpret",
-                                    "pad", "phases"))
+                                    "pad", "phases", "int8_scale"))
 def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
                          eps: float = EPS, block_c: int = 128,
                          interpret: bool = False, pad: int = 0,
-                         phases: int = 1) -> jax.Array:
+                         phases: int = 1,
+                         int8_scale: float | None = None) -> jax.Array:
     """InstanceNorm over H, W of an NHWC tensor, optionally fused with ReLU
     and a trailing reflect-pad of `pad` pixels (output (N, H+2p, W+2p, C)).
 
@@ -154,6 +164,9 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if int8_scale is not None:
+        assert relu, "int8_scale requires relu=True (non-negative outputs)"
+
     n, h, w, c = x.shape
     bc = min(block_c, c)
     if c % bc != 0 or phases > 1:
@@ -161,6 +174,7 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
 
     grid = (n, c // bc)
     out_shape = (n, h + 2 * pad, w + 2 * pad, c)
+    out_dtype = jnp.int8 if int8_scale is not None else x.dtype
     # scoped VMEM = double-buffered in+out windows + working registers;
     # size the limit to the shape (encoder blocks at 256^2 x 128ch need
     # ~96 MB) instead of one fixed number, capped at the v5e's 128 MB
@@ -173,8 +187,8 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
         limit = 128 * 1024 * 1024
     return pl.pallas_call(
         functools.partial(_kernel, relu=relu, eps=eps, pad=pad,
-                          phases=phases),
-        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+                          phases=phases, int8_scale=int8_scale),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
         grid=grid,
         in_specs=[pl.BlockSpec((1, h, w, bc),
                                lambda i, j: (i, 0, 0, j),
@@ -311,6 +325,24 @@ def reflect_pad_adjoint(g, pad: int):
         return core
 
     return fold(fold(g, 1), 2)
+
+
+def instance_norm_int8(x, *, eps: float = EPS, pad: int = 0,
+                       phases: int = 1, scale: float = 6.0):
+    """InstanceNorm + ReLU (+reflect-pad) emitting int8 at a static
+    post-norm scale: q = min(y * 127/scale + 0.5, 127) truncated. Post-IN
+    values are unit-variance, so scale=6 (a 6-sigma clip on the ReLU'd
+    half-normal) loses nothing in practice. Inference-only (no VJP) —
+    quantized serving's fused input-quantization (models/fused.py
+    trunk_int8)."""
+    if pallas_available():
+        return instance_norm_pallas(x, relu=True, eps=eps, pad=pad,
+                                    phases=phases, int8_scale=scale)
+    y, _ = _xla_forward(x, True, eps, pad, phases)
+    k = _jnp.asarray(127.0 / scale, y.dtype)
+    yq = _jnp.minimum(y * k + _jnp.asarray(0.5, y.dtype),
+                      _jnp.full((), 127.0, y.dtype))
+    return yq.astype(_jnp.int8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

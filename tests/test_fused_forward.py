@@ -229,3 +229,42 @@ def test_conv_int8_quantization_exact(rng):
         jnp.asarray(xdq), jnp.asarray(wdq), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
     np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_trunk_int8_pallas_path_close_to_fp32(rng):
+    """The fused quantized path (IN kernel emits int8, conv2 int8 with the
+    dequant folded into the conv epilogue) must track fp32 as closely as
+    the dynamic-requant path. CPU exercises the XLA fallbacks of the same
+    composition."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+
+    gen = Generator(input_channels=1, num_residual_blocks=2, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(4), x)["params"]
+    ref = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32,
+        trunk="pallas"))
+    out = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32,
+        trunk="pallas", trunk_int8=True))
+    err = np.abs(out - ref)
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.01, err.mean()
+
+
+def test_instance_norm_int8_semantics(rng):
+    """q = trunc(min(relu(IN(x)) * 127/S + 0.5, 127)) — exact recompute."""
+    from ducosy_tpu.ops.pallas.instance_norm import instance_norm_int8
+
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)) * 3 + 1, jnp.float32)
+    q = np.asarray(instance_norm_int8(x, pad=1, scale=6.0))
+    assert q.dtype == np.int8 and q.shape == (2, 10, 10, 16)
+    x32 = np.asarray(x)
+    m = x32.mean((1, 2), keepdims=True)
+    v = x32.var((1, 2), keepdims=True)
+    y = np.maximum((x32 - m) / np.sqrt(v + 1e-5), 0.0)
+    y = np.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    ref = np.minimum(y * 127.0 / 6.0 + 0.5, 127.0).astype(np.int8)
+    mismatch = (q != ref).mean()
+    assert mismatch < 1e-3, mismatch  # float-boundary ties only
