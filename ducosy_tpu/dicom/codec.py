@@ -34,6 +34,12 @@ _SUPPORTED = (IMPLICIT_VR_LE, EXPLICIT_VR_LE)
 
 # VRs with 4-byte lengths (and a 2-byte reserved field) in explicit VR
 _LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN"}
+# every VR code of PS3.5 §6.2 — explicit-VR parsing rejects anything else
+# (garbage bytes would otherwise parse as empty elements and round-trip)
+_ALL_VRS = _LONG_VRS | {
+    "AE", "AS", "AT", "CS", "DA", "DS", "DT", "FL", "FD", "IS", "LO", "LT",
+    "PN", "SH", "SL", "SS", "ST", "SV", "TM", "UI", "UL", "US", "UV",
+}
 _UNDEFINED = 0xFFFFFFFF
 
 Tag = Tuple[int, int]
@@ -372,6 +378,10 @@ def _read_element(f, explicit: bool) -> Element | None:
     tag = (group, elem)
     if explicit:
         vr = head[4:6].decode("ascii", "replace")
+        if vr not in _ALL_VRS:
+            raise ValueError(
+                f"invalid VR {vr!r} at tag {tag} — not an explicit-VR "
+                "DICOM stream")
         if vr in _LONG_VRS:
             length = struct.unpack("<I", _read_exact(f, 4))[0]
         else:

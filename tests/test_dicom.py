@@ -159,3 +159,10 @@ def test_garbage_file_raises(tmp_path):
         p.write_bytes(payload)
         with pytest.raises(EOFError):
             dcmread(str(p))
+    # 8-byte-aligned zero runs parse as whole (0000,0000) elements with an
+    # invalid VR — must raise, not yield a one-element Dataset
+    for payload in (b"\x00" * 40, b"\xff" * 64, b"PK\x03\x04" + b"\x00" * 60):
+        p = tmp_path / "junk2.dcm"
+        p.write_bytes(payload)
+        with pytest.raises((ValueError, EOFError)):
+            dcmread(str(p))
