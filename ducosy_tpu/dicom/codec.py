@@ -33,12 +33,15 @@ EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 _SUPPORTED = (IMPLICIT_VR_LE, EXPLICIT_VR_LE)
 
 # VRs with 4-byte lengths (and a 2-byte reserved field) in explicit VR
-_LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "UC", "UR", "UT", "UN"}
+# VRs using the 12-byte explicit form (2 reserved bytes + 32-bit length),
+# PS3.5 Table 7.1-1 — includes the 64-bit SV/UV added in the 2019 edition
+_LONG_VRS = {"OB", "OW", "OF", "OD", "OL", "OV", "SQ", "SV", "UC", "UN",
+             "UR", "UT", "UV"}
 # every VR code of PS3.5 §6.2 — explicit-VR parsing rejects anything else
 # (garbage bytes would otherwise parse as empty elements and round-trip)
 _ALL_VRS = _LONG_VRS | {
     "AE", "AS", "AT", "CS", "DA", "DS", "DT", "FL", "FD", "IS", "LO", "LT",
-    "PN", "SH", "SL", "SS", "ST", "SV", "TM", "UI", "UL", "US", "UV",
+    "PN", "SH", "SL", "SS", "ST", "TM", "UI", "UL", "US",
 }
 _UNDEFINED = 0xFFFFFFFF
 

@@ -114,7 +114,14 @@ class DualGeneratorEngine:
         # trunk_int8 (packed forward only): quantized serving — the trunk
         # convs run int8 on the MXU's double-rate path. Opt-in; fidelity is
         # checkpoint-dependent (see docs/PERF.md), validate on your data.
-        self.trunk_int8 = trunk_int8 and forward == "packed"
+        if trunk_int8 and forward != "packed":
+            # never measure/serve a silently-different configuration: the
+            # quantized trunk exists only in the packed Pallas forward
+            raise ValueError(
+                "trunk_int8=True requires the packed forward (got "
+                f"forward={forward!r}: needs a TPU with Pallas available "
+                "and img_size divisible by 4)")
+        self.trunk_int8 = trunk_int8
         self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,
                                 static_argnames=("out_h", "out_w"))

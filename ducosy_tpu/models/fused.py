@@ -35,6 +35,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ducosy_tpu.models import layers
 from ducosy_tpu.models.layers import EPS_INSTANCE_NORM, prec_for, reflect_pad
 from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
 from ducosy_tpu.ops.pallas.instance_norm import (
@@ -106,13 +107,10 @@ def _conv_int8(x, kernel, bias=None, *, padding="VALID"):
 
 
 def _instance_norm_xla(x, relu):
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + EPS_INSTANCE_NORM)
-    if relu:
-        y = jnp.maximum(y, 0.0)
-    return y.astype(x.dtype)
+    # single source of truth for the fp32-stats IN (see models/layers.py);
+    # relu commutes with the output cast (monotone, 0-preserving)
+    y = layers.instance_norm(x)
+    return jnp.maximum(y, 0.0) if relu else y
 
 
 # -------------------------------------------------- space-to-depth helpers

@@ -125,16 +125,10 @@ class Generator(nn.Module):
     # encoder/decoder norms at 512^2 spatial exceed the VMEM block budget and
     # stay on the XLA path.
     fused_norm: bool = False
-    # rematerialize each residual block in the backward pass (training
-    # memory: the peak drops from all-trunk-activations-live to
-    # encoder/decoder + one block; forward pass unchanged)
-    remat_blocks: bool = False
 
     @nn.compact
     def __call__(self, x):
         ch = self.base_channels
-        block_cls = nn.remat(ResidualBlock) if self.remat_blocks \
-            else ResidualBlock
         x = x.astype(self.dtype)
 
         h = reflect_pad(x, 3)
@@ -149,9 +143,9 @@ class Generator(nn.Module):
         h = nn.relu(instance_norm(h))
 
         for i in range(self.num_residual_blocks):
-            h = block_cls(ch * 4, use_cbam=self.use_cbam,
-                          name=f"block{i}", dtype=self.dtype,
-                          fused_norm=self.fused_norm)(h)
+            h = ResidualBlock(ch * 4, use_cbam=self.use_cbam,
+                              name=f"block{i}", dtype=self.dtype,
+                              fused_norm=self.fused_norm)(h)
 
         h = upsample_nearest_2x(h)
         h = conv(ch * 2, 3, padding=((1, 1), (1, 1)), name="up1",

@@ -383,9 +383,17 @@ def _bwd(relu, eps, pad, phases, x, g):
     # the chip (measured 160 MB need vs 128), so those shapes keep the
     # analytic XLA backward. Threshold = the bf16 trunk window size.
     n, h, w, c = x.shape
-    window = h * w * min(128, c) * x.dtype.itemsize
-    if (_PALLAS_BWD and phases == 1 and window <= 8 * 1024 * 1024
-            and pallas_available()):
+    # mirror the kernel's actual block choice: it widens to the FULL
+    # channel axis when 128 doesn't divide c, and its windows are padded
+    bc = min(128, c)
+    if c % bc != 0:
+        bc = c
+    window = (h + 2 * pad) * (w + 2 * pad) * bc * x.dtype.itemsize
+    # reflect_fold_hw needs non-overlapping fold segments (h,w >= 2p+2);
+    # smaller spatial dims keep the XLA adjoint below
+    foldable = h >= 2 * pad + 2 and w >= 2 * pad + 2
+    if (_PALLAS_BWD and phases == 1 and foldable
+            and window <= 8 * 1024 * 1024 and pallas_available()):
         return (instance_norm_bwd_pallas(x, g, relu=relu, eps=eps, pad=pad),)
     g = reflect_pad_adjoint(g.astype(_jnp.float32), pad)
     x32 = x.astype(_jnp.float32)

@@ -36,6 +36,7 @@ from ducosy_tpu.parallel import (
     data_mesh,
     global_shard_batch,
     mesh_process_count,
+    process_row_slice,
     replicate,
 )
 from ducosy_tpu.train import checkpoint as ckpt
@@ -141,8 +142,19 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
     n_proc = mesh_process_count(mesh)
     is_primary = jax.process_index() == 0
     # multi-host DP: every process derives the same epoch order from the
-    # shared seed and decodes only its own rows of each global batch
-    shard = ((jax.process_index(), n_proc) if n_proc > 1 else None)
+    # shared seed and decodes only its own rows of each global batch. The
+    # row block comes from the mesh's actual device order (validated
+    # contiguous by process_row_slice) — not from process_index, which only
+    # matches for the standard jax.devices() mesh construction.
+    shard = None
+    if n_proc > 1:
+        rows = process_row_slice(mesh, cfg.batch_size)
+        local = cfg.batch_size // n_proc
+        if rows.stop - rows.start != local:
+            raise ValueError(
+                f"process owns {rows.stop - rows.start} of {cfg.batch_size} "
+                f"batch rows; expected {local} (uneven device distribution)")
+        shard = (rows.start // local, n_proc)
     loader = HostLoader(train_ds, cfg.batch_size, shuffle=True,
                         seed=cfg.split_seed, num_workers=cfg.num_workers,
                         shard=shard)
@@ -200,6 +212,13 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                     jax.profiler.stop_trace()
                     print(f"profiler trace written to {cfg.profile_dir}")
             batch = _to_device_batch(mesh, host_batch)
+            # the jitted step donates `state`, and donation invalidates the
+            # buffers even when execution fails — while the auto-remat
+            # fallback may still fire, keep a live copy so the retry isn't
+            # handed deleted arrays (state is ~0.4 GB vs the ~18 GB of
+            # activations the fallback exists for)
+            retry_state = jax.tree.map(jnp.copy, state) \
+                if cfg.remat == "auto" and not remat_active else None
             try:
                 state, metrics = step_for(host_batch)(state, batch)
             except Exception as e:
@@ -215,7 +234,9 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                                              gen_forward=gen_forward)
                 remat_active = True
                 final_steps.clear()
-                state, metrics = step_for(host_batch)(state, batch)
+                state, metrics = step_for(host_batch)(retry_state, batch)
+            finally:
+                retry_state = None
             timer.tick()
             if step_idx % cfg.log_every == 0:
                 last_metrics = {k: float(v) for k, v in metrics.items()}

@@ -44,8 +44,9 @@ struct Cursor {
 constexpr uint32_t kUndefined = 0xFFFFFFFFu;
 
 bool is_long_vr(const char* vr) {
+  // 12-byte explicit-form VRs, PS3.5 Table 7.1-1 (incl. 2019's SV/UV)
   static const char* kLong[] = {"OB", "OW", "OF", "OD", "OL", "OV",
-                                "SQ", "UC", "UR", "UT", "UN"};
+                                "SQ", "SV", "UC", "UN", "UR", "UT", "UV"};
   for (const char* s : kLong)
     if (vr[0] == s[0] && vr[1] == s[1]) return true;
   return false;

@@ -97,6 +97,50 @@ def test_loader_drop_last(synth_root):
 
 
 @pytest.mark.slow
+def test_remat_auto_oom_retry_survives_donation(synth_root, tmp_path,
+                                                monkeypatch):
+    """remat="auto": the first step donates `state`; donation invalidates
+    its buffers even when execution fails. The retry must run on a live
+    copy, not the deleted originals. Simulated by a step whose first call
+    deletes the state it was handed (exactly what a failed donating
+    execution leaves behind) and raises an OOM-shaped error."""
+    import jax
+    from jax.errors import JaxRuntimeError
+    from ducosy_tpu.train import loop as loop_mod
+
+    real_make = loop_mod.make_train_step
+    fired = {"oom": False}
+
+    def faulty_make(gen, disc, cfg, loss_cfg, **kw):
+        step = real_make(gen, disc, cfg, loss_cfg, **kw)
+        if kw.get("remat") or fired["oom"]:
+            return step
+
+        def first_call_ooms(state, batch):
+            fired["oom"] = True
+            for leaf in jax.tree_util.tree_leaves(state):
+                if hasattr(leaf, "delete"):
+                    leaf.delete()
+            raise JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: Out of memory while trying to "
+                "allocate 1 bytes. (simulated)")
+        return first_call_ooms
+
+    monkeypatch.setattr(loop_mod, "make_train_step", faulty_make)
+
+    cfg = replace(
+        TrainConfig(),
+        epochs=10, decay_epoch=2, batch_size=8, img_size=64, num_workers=2,
+        data_root=synth_root, dataset_names="SynthSet",
+        training_dir=str(tmp_path / "run_oom"), val_split=1 / 3,
+        compute_dtype="float32", log_every=1, remat="auto")
+    mcfg = ModelConfig(num_residual_blocks=1)
+    out = loop_mod.train_cycle_gan(cfg, "soft_tissue", mcfg, max_epochs=1)
+    assert fired["oom"], "simulated OOM step never ran"
+    assert out["epochs_run"] == 1 and np.isfinite(out["val_loss"])
+
+
+@pytest.mark.slow
 def test_train_loop_end_to_end(synth_root, tmp_path):
     """Two tiny epochs + resume for one more: checkpoints, images, metrics,
     monotone epoch bookkeeping (SURVEY.md §7 stage 6)."""

@@ -151,6 +151,22 @@ def test_compressed_rejected(tmp_path):
         dcmread(str(p2))
 
 
+def test_sv_uv_long_form_keeps_alignment():
+    """SV/UV (64-bit, 2019 edition) use the 12-byte explicit form; parsing
+    them short-form would consume the length field as the next tag."""
+    import struct
+
+    stream = b""
+    for vr, value in ((b"SV", struct.pack("<q", -5)),
+                      (b"UV", struct.pack("<Q", 7))):
+        stream += struct.pack("<HH2sHI", 0x0011, 0x0001, vr, 0, len(value))
+        stream += value
+    # a recognizable trailing element proves the stream stayed aligned
+    stream += struct.pack("<HH2sH", 0x0008, 0x103E, b"LO", 4) + b"OK  "
+    ds = dcmread(stream)
+    assert ds.SeriesDescription == "OK"
+
+
 def test_garbage_file_raises(tmp_path):
     """A non-DICOM file must raise, not yield an empty Dataset — the
     reference surfaces pydicom's InvalidDicomError on such inputs."""

@@ -167,6 +167,18 @@ def test_synthesize_volume_pipeline(rng):
     assert out.dtype == np.int16
 
 
+def test_trunk_int8_requires_packed_forward():
+    """trunk_int8 must never be silently dropped: on a host where the
+    packed Pallas forward is unavailable (CPU here) the engine refuses
+    instead of serving a different configuration."""
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    with pytest.raises(ValueError, match="trunk_int8"):
+        DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
+                            trunk_int8=True)
+
+
 def test_dual_engine_masked_models(rng):
     """Generators trained with mask conditioning (the framework's own
     training defaults) must run through the engine, which regenerates the
