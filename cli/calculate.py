@@ -26,6 +26,8 @@ def parse_args(argv=None):
                    help="skip figures")
     p.add_argument("--mask", action="store_true",
                    help="evaluate the masked triplets under <output>/masked")
+    p.add_argument("--skip_convert", action="store_true",
+                   help="skip DICOM->npy conversion (use existing caches)")
     return p.parse_args(argv)
 
 
@@ -36,7 +38,7 @@ def main(argv=None):
     calc_dir, data_dir, tasks = report.convert(
         args.input_dir_root, args.output_dir_root, args.dataset_names,
         ncct_folder=args.ncct_folder, cect_folder=args.cect_folder,
-        reset=args.reset, masked=args.mask)
+        reset=args.reset, masked=args.mask, skip_convert=args.skip_convert)
     print(f"converted {len(tasks)} patients -> {data_dir}")
     results = report.calculate(data_dir, calc_dir, tasks,
                                num_workers=args.num_workers,

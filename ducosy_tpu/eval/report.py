@@ -67,12 +67,14 @@ def _hu_volume(dcm_dir: str) -> Optional[np.ndarray]:
 def convert(input_dir_root: str, output_dir_root: str,
             dataset_names: List[str], *, ncct_folder: str = "POST VUE",
             cect_folder: str = "POST STD", reset: bool = False,
-            masked: bool = False
+            masked: bool = False, skip_convert: bool = False
             ) -> Tuple[str, str, List[Tuple[str, str]]]:
     """Cache HU volumes as `{dataset}_{patient}_{category}.npy`.
 
     masked=True evaluates the TotalSegmentator-masked triplets under
-    `<output>/masked/` into `calculated_mask/` (calculate.py:126-152)."""
+    `<output>/masked/` into `calculated_mask/` (calculate.py:126-152).
+    skip_convert=True only enumerates the task list, converting nothing —
+    the reference's --skip_convert (calculate.py:183-184)."""
     calc_output_dir = os.path.join(
         output_dir_root, "calculated_mask" if masked else "calculated")
     data_dir = os.path.join(calc_output_dir, "data")
@@ -98,6 +100,8 @@ def convert(input_dir_root: str, output_dir_root: str,
                 patient_id = os.path.basename(pdir)
                 if (dataset_name, patient_id) not in tasks:
                     tasks.append((dataset_name, patient_id))
+                if skip_convert:
+                    continue
                 out_path = os.path.join(
                     data_dir, f"{dataset_name}_{patient_id}_{category}.npy")
                 if os.path.exists(out_path):

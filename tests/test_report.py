@@ -30,6 +30,11 @@ def eval_tree(tmp_path):
 
 def test_convert_and_calculate(eval_tree):
     input_root, output_root = eval_tree
+    # --skip_convert: enumerate tasks without writing any cache
+    _, dd0, tasks0 = report.convert(input_root, output_root, ["DS"],
+                                    skip_convert=True)
+    assert len(tasks0) == 2 and not os.listdir(dd0)
+
     calc_dir, data_dir, tasks = report.convert(input_root, output_root,
                                                ["DS"])
     assert len(tasks) == 2
