@@ -59,6 +59,13 @@ def parse_args(argv=None):
                         "Pallas IN kernel (+2.5%% pipeline throughput on "
                         "v5e; ~1.9 HU mean deviation vs bf16 — validate "
                         "on your checkpoints; see docs/PERF.md)")
+    p.add_argument("--quant", type=str, default=None,
+                   choices=["trunk", "full"],
+                   help="quantized serving mode: 'trunk' = the 18 trunk "
+                        "convs int8 (same as --trunk_int8); 'full' = also "
+                        "the stem/down/up2/head convs at static scales on "
+                        "a shifted int8 grid (larger deviation — see "
+                        "docs/PERF.md; validate on your checkpoints)")
     return p.parse_args(argv)
 
 
@@ -84,7 +91,8 @@ def load_engine(args):
     return DualGeneratorEngine(load(args.soft_tissue_model),
                                load(args.lung_model),
                                img_size=args.img_size, compute_dtype=dtype,
-                               mesh=mesh, trunk_int8=args.trunk_int8)
+                               mesh=mesh, trunk_int8=args.trunk_int8,
+                               quant=args.quant)
 
 
 def _read_series(folder):

@@ -47,7 +47,8 @@ class DualGeneratorEngine:
                  model_cfg: ModelConfig = ModelConfig(),
                  img_size: int = 512, compute_dtype=jnp.bfloat16,
                  fused_norm: bool = False, mesh=None,
-                 forward: str = "auto", trunk_int8: bool = False):
+                 forward: str = "auto", trunk_int8: bool = False,
+                 quant: str | None = None):
         # fused_norm routes InstanceNorm through the Pallas kernel. Round-1
         # measurements had it +17% on this pipeline; the libtpu/XLA upgrade
         # since then improved XLA's own IN fusion and flipped the A/B
@@ -114,14 +115,19 @@ class DualGeneratorEngine:
         # trunk_int8 (packed forward only): quantized serving — the trunk
         # convs run int8 on the MXU's double-rate path. Opt-in; fidelity is
         # checkpoint-dependent (see docs/PERF.md), validate on your data.
-        if trunk_int8 and forward != "packed":
-            # never measure/serve a silently-different configuration: the
-            # quantized trunk exists only in the packed Pallas forward
+        if quant is None and trunk_int8:
+            quant = "trunk"
+        if quant not in (None, "trunk", "full"):
             raise ValueError(
-                "trunk_int8=True requires the packed forward (got "
+                f"quant must be None, 'trunk' or 'full': {quant!r}")
+        if quant and forward != "packed":
+            # never measure/serve a silently-different configuration: the
+            # quantized modes exist only in the packed Pallas forward
+            raise ValueError(
+                f"quant={quant!r} requires the packed forward (got "
                 f"forward={forward!r}: needs a TPU with Pallas available "
                 "and img_size divisible by 4)")
-        self.trunk_int8 = trunk_int8
+        self.quant = quant
         self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,
                                 static_argnames=("out_h", "out_w"))
@@ -141,7 +147,7 @@ class DualGeneratorEngine:
                 params, x,
                 num_residual_blocks=generator.num_residual_blocks,
                 use_cbam=generator.use_cbam, dtype=self.compute_dtype,
-                trunk_int8=self.trunk_int8)
+                quant=self.quant)
         return generator.apply({"params": params}, x)
 
     def _apply_one(self, params, x):

@@ -106,6 +106,67 @@ def _conv_int8(x, kernel, bias=None, *, padding="VALID"):
     return y.astype(x.dtype)
 
 
+def _quantize_static(x, act_scale: float):
+    """Symmetric int8 quantization at a STATIC scale — pure elementwise, so
+    XLA fuses it into the producer's epilogue (no standalone requant pass,
+    unlike the per-sample-amax path in _conv_int8)."""
+    k = 127.0 / act_scale
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * k), -127.0, 127.0)
+    return q.astype(jnp.int8)
+
+
+def _conv_int8_static(x8, kernel, bias, act_scale: float, *, stride=1,
+                      padding="VALID", dtype, zero_point: int = 0):
+    """int8 activations (pre-quantized at the static `act_scale`) x
+    symmetric per-output-channel int8 weights -> exact int32 accumulation;
+    dequantization folds into the conv epilogue. The encoder/decoder
+    extension of the trunk's fused quantized write (quant="full").
+
+    zero_point=0: symmetric grid, y = acc * (ws_c * S/127) + b.
+    zero_point=128 (post-ReLU activations, which are non-negative and
+    would waste half a symmetric grid): x8 stores round(y*255/S) - 128,
+    DOUBLING the activation resolution. Dequantization stays a conv
+    epilogue because the shift contributes a per-output-channel constant:
+    conv(q+128, w) = conv(q, w) + 128 * sum(wq)_c — exact as long as every
+    tap sees a shifted value, so callers must pad with -128 (the exact
+    encoding of 0), never 0."""
+    w32 = kernel.astype(jnp.float32)
+    ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
+    wq = jnp.round(w32 / ws).astype(jnp.int8)
+    acc = jax.lax.conv_general_dilated(
+        x8, wq, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32)
+    grid = 255.0 if zero_point else 127.0
+    if zero_point:
+        acc = acc + zero_point * jnp.sum(wq.astype(jnp.float32),
+                                         axis=(0, 1, 2))
+    y = acc * (ws * (act_scale / grid))
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(dtype)
+
+
+def packed_in_relu_int8(x, groups: int, scale: float = None):
+    """packed_in_relu emitting int8 on the SHIFTED grid: q =
+    trunc(min(y*255/S + 0.5, 255)) - 128. Post-ReLU values are
+    non-negative, so the shift uses the whole int8 range (half the
+    quantization step of the symmetric grid); consumers pass
+    zero_point=128 to _conv_int8_static and pad with -128. The quantize
+    rides the norm's elementwise epilogue and its int8 write halves the
+    norm's HBM write traffic."""
+    if scale is None:
+        scale = _INT8_NORM_SCALE
+    n, h, w, cf = x.shape
+    c = cf // groups
+    g = x.reshape(n, h, w, groups, c).astype(jnp.float32)
+    mean = jnp.mean(g, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=(1, 2, 3), keepdims=True)
+    y = jnp.maximum((g - mean) * jax.lax.rsqrt(var + EPS_INSTANCE_NORM), 0.0)
+    q = jnp.minimum(y * (255.0 / scale) + 0.5, 255.0)
+    return (q.astype(jnp.int32) - 128).astype(jnp.int8).reshape(n, h, w, cf)
+
+
 def _instance_norm_xla(x, relu):
     # single source of truth for the fp32-stats IN (see models/layers.py);
     # relu commutes with the output cast (monotone, 0-preserving)
@@ -370,11 +431,12 @@ def head_packed_kernel(w):
     return out
 
 
-def packed16_reflect_pad3(x, c: int):
+def packed16_reflect_pad3(x, c: int, fill=0):
     """True-grid ReflectionPad2d(3) expressed on a packed-16 tensor: one
     extra packed row/col per side whose phase channels are the reflected
     true rows/cols (phase permutation of the adjacent packed row/col); the
-    never-tapped outermost true line is zero."""
+    never-tapped outermost true line is `fill` (pass -128 for shifted-grid
+    int8 tensors, the exact encoding of 0)."""
     n, h, w, cf = x.shape
 
     def pad_axis(t, axis):
@@ -386,8 +448,9 @@ def packed16_reflect_pad3(x, c: int):
             parts = []
             for k_ in perm:
                 if k_ is None:
-                    parts.append(jnp.zeros_like(
-                        jnp.take(b, 0, axis=-3 if axis_phase == 0 else -2)))
+                    parts.append(jnp.full_like(
+                        jnp.take(b, 0, axis=-3 if axis_phase == 0 else -2),
+                        fill))
                 else:
                     parts.append(jnp.take(
                         b, k_, axis=-3 if axis_phase == 0 else -2))
@@ -408,7 +471,8 @@ def packed16_reflect_pad3(x, c: int):
 def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
                            use_cbam: bool = True, dtype=jnp.bfloat16,
                            trunk: str = "auto", encoder_fused: bool = True,
-                           trunk_int8: bool = False):
+                           trunk_int8: bool = False,
+                           quant: str | None = None):
     """Generator forward entirely in packed (space-to-depth) layout outside
     the trunk: one s2d at the input, one tiny d2s at the (128^2, 16)
     output, MXU-shaped convs everywhere between. Exact to bf16 rounding
@@ -426,6 +490,16 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     if trunk == "auto":
         from ducosy_tpu.ops.pallas.instance_norm import pallas_available
         trunk = "pallas" if pallas_available() else "xla"
+    # quant: None | "trunk" (the 18 trunk convs int8) | "full" (also the
+    # stem/down/up2/head convs at static scales; up1 stays bf16 — its
+    # input is the un-normalized residual carry). trunk_int8=True is the
+    # back-compat spelling of quant="trunk".
+    if quant is None and trunk_int8:
+        quant = "trunk"
+    if quant not in (None, "trunk", "full"):
+        raise ValueError(f"quant must be None, 'trunk' or 'full': {quant!r}")
+    trunk_int8 = quant in ("trunk", "full")
+    full_int8 = quant == "full"
     p = params
     x = x.astype(dtype)
 
@@ -434,8 +508,15 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     if xp.shape[1] % 2:
         xp = jnp.pad(xp, ((0, 0), (0, 1), (0, 1), (0, 0)))
     s = _s2d2(xp)
-    w_stem = s2d_conv_kernel(p["stem"]["kernel"]).astype(dtype)
-    h = _conv(s, w_stem, dtype=dtype)
+    w_stem = s2d_conv_kernel(p["stem"]["kernel"])
+    if full_int8:
+        # model inputs are [-1,1] (image) / {0,1} (masks) by construction:
+        # act_scale 1.0 uses the whole int8 grid; the <=1/254 quantization
+        # noise is below the HU window's stored-pixel resolution
+        h = _conv_int8_static(_quantize_static(s, 1.0), w_stem, None, 1.0,
+                              dtype=dtype)
+    else:
+        h = _conv(s, w_stem.astype(dtype), dtype=dtype)
     h_out = (x.shape[1] + 6 - p["stem"]["kernel"].shape[0] + 1) // 2
     h = h[:, :h_out, :h_out] + jnp.tile(p["stem"]["bias"], 4).astype(dtype)
 
@@ -475,17 +556,34 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
         return packed_in_relu(t, groups)
 
     eps = EPS_INSTANCE_NORM
-    h = _phase_norm(h, 4)                          # true 512^2 x base
-    w_d1 = down_conv_packed_kernel(p["down1"]["kernel"]).astype(dtype)
-    h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
-    h = _conv(h, w_d1, dtype=dtype) + p["down1"]["bias"].astype(dtype)
-    if enc_fused:
-        h = instance_norm_fused(h, True, eps, 0)   # true 256^2 x 2base
+    w_d1 = down_conv_packed_kernel(p["down1"]["kernel"])
+    if full_int8:
+        # the stem norm emits int8 at the static post-norm scale (its
+        # elementwise epilogue), down1 runs the int8 MXU path; pads use
+        # -128 — the exact encoding of 0 on the shifted grid
+        h8 = jnp.pad(packed_in_relu_int8(h, 4),
+                     ((0, 0), (1, 0), (1, 0), (0, 0)),
+                     constant_values=-128)
+        h = _conv_int8_static(h8, w_d1, p["down1"]["bias"],
+                              _INT8_NORM_SCALE, dtype=dtype, zero_point=128)
+        h8 = jnp.pad(packed_in_relu_int8(h, 1),     # true 256^2 x 2base
+                     ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=-128)
+        h = _conv_int8_static(h8, p["down2"]["kernel"], p["down2"]["bias"],
+                              _INT8_NORM_SCALE, stride=2, dtype=dtype,
+                              zero_point=128)
     else:
-        h = _instance_norm_xla(h, relu=True)
+        h = _phase_norm(h, 4)                      # true 512^2 x base
+        h = jnp.pad(h, ((0, 0), (1, 0), (1, 0), (0, 0)))
+        h = _conv(h, w_d1.astype(dtype), dtype=dtype) \
+            + p["down1"]["bias"].astype(dtype)
+        if enc_fused:
+            h = instance_norm_fused(h, True, eps, 0)  # true 256^2 x 2base
+        else:
+            h = _instance_norm_xla(h, relu=True)
 
-    h = _conv(h, p["down2"]["kernel"], p["down2"]["bias"], stride=2,
-              padding=((1, 1), (1, 1)), dtype=dtype)
+        h = _conv(h, p["down2"]["kernel"], p["down2"]["bias"], stride=2,
+                  padding=((1, 1), (1, 1)), dtype=dtype)
 
     # ---- trunk
     if pallas_trunk:
@@ -553,20 +651,35 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     # ---- decoder: packed-4 -> packed-16, no d2s until the very end
     w_u1 = up_packed_kernel(p["up1"]["kernel"].astype(jnp.float32))
     h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    h = _conv(h, w_u1.astype(dtype), dtype=dtype)
+    h = _conv(h, w_u1.astype(dtype), dtype=dtype)  # bf16: un-normalized in
     h = h + jnp.tile(p["up1"]["bias"], 4).astype(dtype)
-    h = _phase_norm(h, 4)                          # packed-4 of 256^2 x co1
 
     co2 = p["up2"]["kernel"].shape[3]
     w_u2 = up2_packed_kernel(p["up2"]["kernel"].astype(jnp.float32))
-    h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    h = _conv(h, w_u2.astype(dtype), dtype=dtype)
-    h = h + jnp.tile(p["up2"]["bias"], 16).astype(dtype)
-    h = _phase_norm(h, 16)                         # packed-16 of 512^2 x co2
-
     w_hd = head_packed_kernel(p["head"]["kernel"].astype(jnp.float32))
-    h = packed16_reflect_pad3(h, co2)
-    h = _conv(h, w_hd.astype(dtype), dtype=dtype)
-    h = h + jnp.tile(p["head"]["bias"], 16).astype(dtype)
+    if full_int8:
+        h8 = jnp.pad(packed_in_relu_int8(h, 4),    # packed-4 of 256^2 x co1
+                     ((0, 0), (1, 1), (1, 1), (0, 0)),
+                     constant_values=-128)
+        h = _conv_int8_static(h8, w_u2, None, _INT8_NORM_SCALE, dtype=dtype,
+                              zero_point=128)
+        h = h + jnp.tile(p["up2"]["bias"], 16).astype(dtype)
+        # packed-16 norm -> int8 -> true-grid reflect pad (phase gathers;
+        # fill lines encode exact 0 = -128) -> quantized head conv
+        h8 = packed16_reflect_pad3(packed_in_relu_int8(h, 16), co2,
+                                   fill=-128)
+        h = _conv_int8_static(h8, w_hd, None, _INT8_NORM_SCALE,
+                              dtype=jnp.float32, zero_point=128)
+        h = h + jnp.tile(p["head"]["bias"], 16).astype(jnp.float32)
+    else:
+        h = _phase_norm(h, 4)                      # packed-4 of 256^2 x co1
+        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        h = _conv(h, w_u2.astype(dtype), dtype=dtype)
+        h = h + jnp.tile(p["up2"]["bias"], 16).astype(dtype)
+        h = _phase_norm(h, 16)                     # packed-16 of 512^2 x co2
+
+        h = packed16_reflect_pad3(h, co2)
+        h = _conv(h, w_hd.astype(dtype), dtype=dtype)
+        h = h + jnp.tile(p["head"]["bias"], 16).astype(dtype)
     h = jnp.tanh(h.astype(jnp.float32))            # (N, 128, 128, 16)
     return _d2s(h, 4)                              # (N, 512, 512, 1)

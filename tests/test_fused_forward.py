@@ -210,6 +210,76 @@ def test_trunk_int8_close_to_fp32(rng):
     assert err.mean() < 0.01, err.mean()
 
 
+def test_full_int8_close_to_fp32(rng):
+    """quant='full' also runs stem/down/up2/head on static-scale int8 (the
+    decoder stages have no absorbing norm after them, so the tolerance is
+    looser than trunk mode's; hardware-measured fidelity in docs/PERF.md)."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+
+    gen = Generator(input_channels=1, num_residual_blocks=2, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(3), x)["params"]
+    ref = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32))
+    out = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32, quant="full"))
+    err = np.abs(out - ref)
+    assert err.max() < 0.25, err.max()
+    # ~0.016 measured; 0.025 on [-1,1] ~= 5 HU in the soft-tissue window
+    assert err.mean() < 0.025, err.mean()
+
+
+def test_quant_rejects_unknown_mode(rng):
+    from ducosy_tpu.models.fused import generator_apply_packed
+
+    gen = Generator(input_channels=1, num_residual_blocks=1,
+                    dtype=jnp.float32)
+    x = jnp.zeros((1, 32, 32, 1), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), x)["params"]
+    with pytest.raises(ValueError, match="quant"):
+        generator_apply_packed(params, x, num_residual_blocks=1,
+                               quant="int4")
+
+
+def test_conv_int8_static_shifted_grid_exact(rng):
+    """zero_point=128: conv(q, wq) + 128*sum(wq)_c must exactly equal the
+    conv of the dequantized operands, including -128-padded borders (the
+    exact encoding of 0 on the shifted grid)."""
+    from ducosy_tpu.models.fused import _conv_int8_static
+
+    S = 6.0
+    q = jnp.asarray(rng.integers(-128, 128, (2, 10, 10, 16)), jnp.int8)
+    q_pad = jnp.pad(q, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-128)
+    w = jnp.asarray(rng.standard_normal((3, 3, 16, 8)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(8) * 0.1, jnp.float32)
+    out = np.asarray(_conv_int8_static(q_pad, w, b, S, dtype=jnp.float32,
+                                       zero_point=128))
+
+    ws = np.maximum(np.abs(np.asarray(w)).max(axis=(0, 1, 2)), 1e-12) / 127
+    wdq = np.round(np.asarray(w) / ws) * ws
+    xdq = (np.asarray(q_pad, np.float32) + 128.0) * (S / 255.0)
+    ref = jax.lax.conv_general_dilated(
+        jnp.asarray(xdq), jnp.asarray(wdq), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(out, np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_in_relu_int8_semantics(rng):
+    """q = trunc(min(relu(IN(x)) * 255/S + 0.5, 255)) - 128, stats pooled
+    over phase groups — exact recompute."""
+    from ducosy_tpu.models.fused import packed_in_relu_int8, packed_in_relu
+
+    S = 6.0
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)) * 2 + 0.5,
+                    jnp.float32)
+    got = np.asarray(packed_in_relu_int8(x, 4, S))
+    y = np.asarray(packed_in_relu(x, 4))
+    want = np.minimum(y * (255.0 / S) + 0.5, 255.0).astype(np.int32) - 128
+    np.testing.assert_array_equal(got.astype(np.int32), want)
+
+
 def test_conv_int8_quantization_exact(rng):
     """The int8 conv's accumulation is exact: it must equal the fp32 conv
     of the quantized-and-dequantized operands."""

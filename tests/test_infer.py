@@ -174,9 +174,15 @@ def test_trunk_int8_requires_packed_forward():
     mcfg = ModelConfig(num_residual_blocks=1)
     gen = Generator(input_channels=1, num_residual_blocks=1)
     p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
-    with pytest.raises(ValueError, match="trunk_int8"):
+    with pytest.raises(ValueError, match="quant"):
         DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
                             trunk_int8=True)
+    with pytest.raises(ValueError, match="quant"):
+        DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
+                            quant="full")
+    with pytest.raises(ValueError, match="quant"):
+        DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
+                            quant="int4", forward="packed")
 
 
 def test_dual_engine_masked_models(rng):
