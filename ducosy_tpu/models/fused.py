@@ -597,29 +597,23 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
             if trunk_int8:
-                # fused quantized serving: the IN kernel emits int8 at a
-                # static post-norm scale (its output write — zero
-                # standalone requant passes), conv2 runs the int8 MXU
-                # path, and dequantization folds into the conv epilogue:
-                # block_tail's leading IN is invariant to per-channel
-                # scaling, so acc*(S/127*ws_c) + b is exact-equivalent to
-                # feeding dequantized values. conv1 stays bf16 (its input
-                # is the un-normalized residual carry).
+                # fused quantized serving: the IN kernel emits SHIFTED-grid
+                # int8 at a static post-norm scale (its output write — zero
+                # standalone requant passes, full int8 range for the
+                # non-negative ReLU'd values), conv2 runs the int8 MXU
+                # path, and dequantization folds into the conv epilogue
+                # (with the exact 128*sum(wq)_c shift constant; every tap
+                # is data — the reflect pad is folded — so the constant is
+                # position-independent). conv1 stays bf16 (its input is
+                # the un-normalized residual carry).
                 t = _conv(hp, bp["conv1"]["kernel"], bp["conv1"]["bias"],
                           dtype=dtype)
                 t8 = instance_norm_int8(t, eps=eps, pad=1,
                                         scale=_INT8_NORM_SCALE)
-                w32 = bp["conv2"]["kernel"].astype(jnp.float32)
-                ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
-                                 1e-12) / 127.0
-                wq = jnp.round(w32 / ws).astype(jnp.int8)
-                acc = jax.lax.conv_general_dilated(
-                    t8, wq, (1, 1), "VALID",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.int32)
-                dq = (ws * (_INT8_NORM_SCALE / 127.0)).reshape(1, 1, 1, -1)
-                t = (acc.astype(jnp.float32) * dq
-                     + bp["conv2"]["bias"].astype(jnp.float32)).astype(dtype)
+                t = _conv_int8_static(t8, bp["conv2"]["kernel"],
+                                      bp["conv2"]["bias"],
+                                      _INT8_NORM_SCALE, dtype=dtype,
+                                      zero_point=128)
             else:
                 t = conv_trunk(hp, bp["conv1"]["kernel"],
                                bp["conv1"]["bias"])

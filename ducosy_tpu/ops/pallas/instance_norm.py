@@ -135,11 +135,17 @@ def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int,
         # quantized serving: emit int8 at the static post-norm scale so the
         # consuming conv reads half the bytes and runs the int8 MXU path
         # with ZERO standalone requant ops. y >= 0 (relu is required), so
-        # trunc-toward-zero int8 cast of y*k + 0.5 IS round-half-up —
+        # trunc-toward-zero cast of y*k + 0.5 IS round-half-up —
         # math.roundeven does not legalize in Mosaic on this toolchain.
-        k = jnp.asarray(127.0 / int8_scale, x.dtype)
-        y = jnp.minimum(y * k + jnp.asarray(0.5, x.dtype),
-                        jnp.full((), 127.0, x.dtype))
+        # SHIFTED grid: post-ReLU values would waste half a symmetric int8
+        # range, so store round(y*255/S) - 128 (consumers add the exact
+        # 128*sum(wq)_c constant in their conv epilogue). The trunc must
+        # happen on the non-negative value BEFORE the shift (trunc of a
+        # negative rounds the wrong way), hence the int32 intermediate.
+        k = jnp.asarray(255.0 / int8_scale, x.dtype)
+        q = jnp.minimum(y * k + jnp.asarray(0.5, x.dtype),
+                        jnp.full((), 255.0, x.dtype))
+        y = q.astype(jnp.int32) - 128
     o_ref[...] = y.astype(o_ref.dtype)
 
 
@@ -329,20 +335,22 @@ def reflect_pad_adjoint(g, pad: int):
 
 def instance_norm_int8(x, *, eps: float = EPS, pad: int = 0,
                        phases: int = 1, scale: float = 6.0):
-    """InstanceNorm + ReLU (+reflect-pad) emitting int8 at a static
-    post-norm scale: q = min(y * 127/scale + 0.5, 127) truncated. Post-IN
-    values are unit-variance, so scale=6 (a 6-sigma clip on the ReLU'd
-    half-normal) loses nothing in practice. Inference-only (no VJP) —
-    quantized serving's fused input-quantization (models/fused.py
-    trunk_int8)."""
+    """InstanceNorm + ReLU (+reflect-pad) emitting int8 on the SHIFTED
+    grid at a static post-norm scale: q = trunc(min(y * 255/scale + 0.5,
+    255)) - 128 (the ReLU'd output is non-negative, so the shift uses the
+    whole int8 range). Post-IN values are unit-variance, so scale=6 (a
+    6-sigma clip on the half-normal) loses nothing in practice. Consumers
+    dequantize as (acc + 128*sum(wq)_c) * (ws_c * scale/255) in the conv
+    epilogue. Inference-only (no VJP) — quantized serving's fused
+    input-quantization (models/fused.py quant modes)."""
     if pallas_available():
         return instance_norm_pallas(x, relu=True, eps=eps, pad=pad,
                                     phases=phases, int8_scale=scale)
     y, _ = _xla_forward(x, True, eps, pad, phases)
-    k = _jnp.asarray(127.0 / scale, y.dtype)
+    k = _jnp.asarray(255.0 / scale, y.dtype)
     yq = _jnp.minimum(y * k + _jnp.asarray(0.5, y.dtype),
-                      _jnp.full((), 127.0, y.dtype))
-    return yq.astype(_jnp.int8)
+                      _jnp.full((), 255.0, y.dtype))
+    return (yq.astype(_jnp.int32) - 128).astype(_jnp.int8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

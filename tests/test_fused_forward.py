@@ -324,7 +324,8 @@ def test_trunk_int8_pallas_path_close_to_fp32(rng):
 
 
 def test_instance_norm_int8_semantics(rng):
-    """q = trunc(min(relu(IN(x)) * 127/S + 0.5, 127)) — exact recompute."""
+    """q = trunc(min(relu(IN(x)) * 255/S + 0.5, 255)) - 128 (shifted grid)
+    — exact recompute."""
     from ducosy_tpu.ops.pallas.instance_norm import instance_norm_int8
 
     x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)) * 3 + 1, jnp.float32)
@@ -335,6 +336,7 @@ def test_instance_norm_int8_semantics(rng):
     v = x32.var((1, 2), keepdims=True)
     y = np.maximum((x32 - m) / np.sqrt(v + 1e-5), 0.0)
     y = np.pad(y, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
-    ref = np.minimum(y * 127.0 / 6.0 + 0.5, 127.0).astype(np.int8)
+    ref = (np.minimum(y * 255.0 / 6.0 + 0.5, 255.0).astype(np.int32)
+           - 128).astype(np.int8)
     mismatch = (q != ref).mean()
     assert mismatch < 1e-3, mismatch  # float-boundary ties only
