@@ -75,6 +75,12 @@ def convert(input_dir_root: str, output_dir_root: str,
     `<output>/masked/` into `calculated_mask/` (calculate.py:126-152).
     skip_convert=True only enumerates the task list, converting nothing —
     the reference's --skip_convert (calculate.py:183-184)."""
+    if reset and skip_convert:
+        # reset deletes every cached .npy and skip_convert would then
+        # regenerate nothing: hours of conversion destroyed for an empty
+        # report. Refuse the contradictory pair.
+        raise ValueError("--reset and --skip_convert are contradictory: "
+                         "reset deletes the caches skip_convert relies on")
     calc_output_dir = os.path.join(
         output_dir_root, "calculated_mask" if masked else "calculated")
     data_dir = os.path.join(calc_output_dir, "data")

@@ -39,6 +39,8 @@ from ducosy_tpu.models import layers
 from ducosy_tpu.models.layers import EPS_INSTANCE_NORM, prec_for, reflect_pad
 from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
 from ducosy_tpu.ops.pallas.instance_norm import (
+    INT8_GRID,
+    INT8_ZERO_POINT,
     instance_norm_fused,
     instance_norm_int8,
 )
@@ -137,7 +139,7 @@ def _conv_int8_static(x8, kernel, bias, act_scale: float, *, stride=1,
         x8, wq, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32).astype(jnp.float32)
-    grid = 255.0 if zero_point else 127.0
+    grid = INT8_GRID if zero_point else 127.0
     if zero_point:
         acc = acc + zero_point * jnp.sum(wq.astype(jnp.float32),
                                          axis=(0, 1, 2))
@@ -163,8 +165,9 @@ def packed_in_relu_int8(x, groups: int, scale: float = None):
     mean = jnp.mean(g, axis=(1, 2, 3), keepdims=True)
     var = jnp.mean(jnp.square(g - mean), axis=(1, 2, 3), keepdims=True)
     y = jnp.maximum((g - mean) * jax.lax.rsqrt(var + EPS_INSTANCE_NORM), 0.0)
-    q = jnp.minimum(y * (255.0 / scale) + 0.5, 255.0)
-    return (q.astype(jnp.int32) - 128).astype(jnp.int8).reshape(n, h, w, cf)
+    q = jnp.minimum(y * (INT8_GRID / scale) + 0.5, INT8_GRID)
+    return (q.astype(jnp.int32)
+            - INT8_ZERO_POINT).astype(jnp.int8).reshape(n, h, w, cf)
 
 
 def _instance_norm_xla(x, relu):

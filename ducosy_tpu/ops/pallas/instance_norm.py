@@ -24,6 +24,14 @@ import jax.numpy as jnp
 
 EPS = 1e-5
 
+# Quantized-serving activation grid (single source of truth — the shifted
+# int8 encoding q = trunc(min(y * GRID/S + 0.5, GRID)) - ZERO_POINT is
+# produced by the Pallas IN kernel, instance_norm_int8's XLA fallback, and
+# models/fused.packed_in_relu_int8, and decoded by fused._conv_int8_static;
+# all four must agree or the activation path is silently mis-scaled).
+INT8_GRID = 255.0
+INT8_ZERO_POINT = 128
+
 
 def reflect_pad_hw(a, p: int, h_axis: int = 0):
     """Reflect-pad axes (h_axis, h_axis+1) by p, Mosaic-lowerable: built
@@ -142,10 +150,10 @@ def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int,
         # 128*sum(wq)_c constant in their conv epilogue). The trunc must
         # happen on the non-negative value BEFORE the shift (trunc of a
         # negative rounds the wrong way), hence the int32 intermediate.
-        k = jnp.asarray(255.0 / int8_scale, x.dtype)
+        k = jnp.asarray(INT8_GRID / int8_scale, x.dtype)
         q = jnp.minimum(y * k + jnp.asarray(0.5, x.dtype),
-                        jnp.full((), 255.0, x.dtype))
-        y = q.astype(jnp.int32) - 128
+                        jnp.full((), INT8_GRID, x.dtype))
+        y = q.astype(jnp.int32) - INT8_ZERO_POINT
     o_ref[...] = y.astype(o_ref.dtype)
 
 
@@ -347,10 +355,10 @@ def instance_norm_int8(x, *, eps: float = EPS, pad: int = 0,
         return instance_norm_pallas(x, relu=True, eps=eps, pad=pad,
                                     phases=phases, int8_scale=scale)
     y, _ = _xla_forward(x, True, eps, pad, phases)
-    k = _jnp.asarray(255.0 / scale, y.dtype)
+    k = _jnp.asarray(INT8_GRID / scale, y.dtype)
     yq = _jnp.minimum(y * k + _jnp.asarray(0.5, y.dtype),
-                      _jnp.full((), 255.0, y.dtype))
-    return (yq.astype(_jnp.int32) - 128).astype(_jnp.int8)
+                      _jnp.full((), INT8_GRID, y.dtype))
+    return (yq.astype(_jnp.int32) - INT8_ZERO_POINT).astype(_jnp.int8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

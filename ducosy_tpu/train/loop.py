@@ -179,6 +179,9 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
     # built with the static real-sample count (exact ragged semantics for
     # the edge top-k term); one per n_real, compiled lazily and cached
     final_steps: Dict[int, object] = {}
+    # step fns that have executed once without OOM (remat="auto" keeps a
+    # donation-safe state copy only while a step is unproven)
+    proven_steps: set = set()
 
     def step_for(host_batch):
         if "weight" not in host_batch:
@@ -216,11 +219,19 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
             # buffers even when execution fails — while the auto-remat
             # fallback may still fire, keep a live copy so the retry isn't
             # handed deleted arrays (state is ~0.4 GB vs the ~18 GB of
-            # activations the fallback exists for)
-            retry_state = jax.tree.map(jnp.copy, state) \
-                if cfg.remat == "auto" and not remat_active else None
+            # activations the fallback exists for). OOM of a fixed
+            # executable with static shapes is deterministic, so once a
+            # compiled step has executed once the copy is dead weight
+            # (extra HBM held during the activation peak) — copy only
+            # until each step fn proves itself.
+            step_fn = step_for(host_batch)
+            unproven = (cfg.remat == "auto" and not remat_active
+                        and id(step_fn) not in proven_steps)
+            retry_state = jax.tree.map(jnp.copy, state) if unproven else None
             try:
-                state, metrics = step_for(host_batch)(state, batch)
+                state, metrics = step_fn(state, batch)
+                if unproven:
+                    proven_steps.add(id(step_fn))
             except Exception as e:
                 # remat="auto": fall back to rematerialized generator
                 # forwards when the un-remat'd step exhausts HBM
@@ -234,6 +245,7 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
                                              gen_forward=gen_forward)
                 remat_active = True
                 final_steps.clear()
+                proven_steps.clear()
                 state, metrics = step_for(host_batch)(retry_state, batch)
             finally:
                 retry_state = None

@@ -52,6 +52,20 @@ bool is_long_vr(const char* vr) {
   return false;
 }
 
+// every VR code of PS3.5 §6.2 — explicit-VR parsing rejects anything else
+// (matches the Python codec's validation: garbage bytes must not parse as
+// empty elements, regardless of which parser a build uses)
+bool is_valid_vr(const char* vr) {
+  static const char* kAll[] = {
+      "AE", "AS", "AT", "CS", "DA", "DS", "DT", "FL", "FD", "IS", "LO",
+      "LT", "OB", "OD", "OF", "OL", "OV", "OW", "PN", "SH", "SL", "SQ",
+      "SS", "ST", "SV", "TM", "UC", "UI", "UL", "UN", "UR", "US", "UT",
+      "UV"};
+  for (const char* s : kAll)
+    if (vr[0] == s[0] && vr[1] == s[1]) return true;
+  return false;
+}
+
 double parse_ds(const uint8_t* v, uint32_t n) {
   // first backslash-separated decimal string
   char buf[24];
@@ -164,6 +178,7 @@ int parse_slice(const uint8_t* buf, uint64_t len, SliceMeta* out) {
       char vr[2] = {static_cast<char>(buf[c.off]),
                     static_cast<char>(buf[c.off + 1])};
       c.off += 2;
+      if (!is_valid_vr(vr)) return 1;
       uint32_t vlen;
       if (is_long_vr(vr)) {
         c.off += 2;
@@ -202,6 +217,7 @@ int parse_slice(const uint8_t* buf, uint64_t len, SliceMeta* out) {
       vr[0] = static_cast<char>(buf[c.off]);
       vr[1] = static_cast<char>(buf[c.off + 1]);
       c.off += 2;
+      if (!is_valid_vr(vr)) return 1;  // garbage, not an explicit-VR stream
       if (is_long_vr(vr)) {
         c.off += 2;
         if (!c.ok(4)) return 1;

@@ -34,6 +34,10 @@ def test_convert_and_calculate(eval_tree):
     _, dd0, tasks0 = report.convert(input_root, output_root, ["DS"],
                                     skip_convert=True)
     assert len(tasks0) == 2 and not os.listdir(dd0)
+    # reset would delete the very caches skip_convert relies on
+    with pytest.raises(ValueError, match="contradictory"):
+        report.convert(input_root, output_root, ["DS"], reset=True,
+                       skip_convert=True)
 
     calc_dir, data_dir, tasks = report.convert(input_root, output_root,
                                                ["DS"])
