@@ -198,3 +198,32 @@ def _alive(pid: int) -> bool:
         return True
     except OSError:
         return False
+
+
+def test_visualize_cli_writes_comparisons(tmp_path):
+    """cli/visualize.py end-to-end on a synthetic tree: per-slice
+    [VUE|STD|Generated] PNGs plus the per-dataset grid (reference
+    visualize.py:16-317 semantics; generated slices live directly under
+    <output>/<dataset>/<patient>/ like cli/generate.py writes them)."""
+    import shutil
+
+    pytest.importorskip("PIL")
+    from synth import write_dataset
+    import visualize as visualize_cli
+
+    inp = tmp_path / "input"
+    out = tmp_path / "output"
+    write_dataset(str(inp), n_patients=1, n_slices=2, size=32)
+    gen_dir = out / "SynthSet" / "patient00"
+    gen_dir.mkdir(parents=True)
+    for f in (inp / "SynthSet" / "patient00" / "POST STD").glob("*.dcm"):
+        shutil.copy(f, gen_dir / f.name)
+
+    visualize_cli.main(["--input_dir_root", str(inp),
+                        "--output_dir_root", str(out),
+                        "--dataset_names", "SynthSet",
+                        "--num_workers", "1"])
+    vis = out / "visualized"
+    assert (vis / "SynthSet" / "patient00" / "0000.png").exists()
+    assert (vis / "SynthSet" / "patient00" / "0001.png").exists()
+    assert (vis / "SynthSet_grid.png").exists()
