@@ -283,8 +283,15 @@ class Dataset:
             raise AttributeError("no PixelData")
         bits = int(self.get("BitsAllocated", 16))
         signed = int(self.get("PixelRepresentation", 0)) == 1
-        rows = int(self.Rows)
-        cols = int(self.Columns)
+        rows = self.get("Rows")
+        cols = self.get("Columns")
+        if rows is None or cols is None:
+            # NOT AttributeError: a property getter's AttributeError is
+            # swallowed by Python's __getattr__ fallback and resurfaces as
+            # a message-less AttributeError('pixel_array')
+            raise ValueError("PixelData present but Rows/Columns missing "
+                             "(corrupt geometry tags)")
+        rows, cols = int(rows), int(cols)
         if bits == 16:
             dtype = np.int16 if signed else np.uint16
         elif bits == 8:

@@ -151,6 +151,35 @@ def test_compressed_rejected(tmp_path):
         dcmread(str(p2))
 
 
+def test_fuzz_mutations_fail_cleanly(tmp_path, rng):
+    """Random byte flips + truncations of a valid file must either parse or
+    raise one of the documented error types — never struct.error /
+    Unicode errors / message-less AttributeErrors (a property getter's
+    AttributeError is masked by __getattr__) / hangs."""
+    ds = new_ct_dataset(16, 16, signed=True)
+    ds.set_pixel_array(rng.integers(-1000, 1000, (16, 16)).astype(np.int16))
+    p = str(tmp_path / "base.dcm")
+    ds.save_as(p)
+    raw = open(p, "rb").read()
+
+    for trial in range(400):
+        b = bytearray(raw)
+        for _ in range(int(rng.integers(1, 8))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.3:
+            b = b[:int(rng.integers(0, len(b)))]
+        try:
+            d = dcmread(bytes(b))
+            if d.PixelData is not None:
+                _ = d.pixel_array
+            _ = str(d.get("SeriesDescription", ""))
+        except (ValueError, EOFError, NotImplementedError, KeyError):
+            pass
+        except AttributeError as e:
+            # only the pydicom-compatible "no PixelData" path may surface
+            assert "pixel_array" not in str(e) or d.PixelData is None
+
+
 def test_sv_uv_long_form_keeps_alignment():
     """SV/UV (64-bit, 2019 edition) use the 12-byte explicit form; parsing
     them short-form would consume the length field as the next tag."""
