@@ -178,26 +178,30 @@ def predict_volume(model, variables, vue_volume: np.ndarray,
                    *, slice_batch: int = 8) -> np.ndarray:
     """HU volume (D, H, W) -> predicted HU difference map.
 
-    Matches modules/nmodel/inference.py:65-82 but batches slices under one
-    jit instead of the reference's per-slice loop. Each slice enters as a
-    (1, H, W) depth-1 3-D volume exactly as the reference's patch shape
-    (1, 512, 512)."""
+    Matches modules/nmodel/inference.py:65-82 but as ONE fused XLA program:
+    normalize, lax.map the net over slice_batch-sized chunks (each slice a
+    depth-1 3-D volume, the reference's (1, 512, 512) patch shape), and
+    denormalize — a single dispatch and one transfer each way, like the
+    CycleGAN engine, instead of the reference's per-slice loop with a host
+    round trip per batch."""
     d, h, w = vue_volume.shape
-    norm = np.asarray(normalize_hu(jnp.asarray(vue_volume, jnp.float32)))
-    x = norm[:, None, :, :, None]  # (D, 1, H, W, 1): depth-1 samples
+    pad = (-d) % slice_batch
 
     @jax.jit
-    def fwd(batch):
-        return model.apply(variables, batch, train=False)
+    def run(vol):
+        v = normalize_hu(vol.astype(jnp.float32))
+        if pad:
+            v = jnp.concatenate([v, jnp.zeros((pad, h, w), v.dtype)])
+        x = v.reshape(-1, slice_batch, h, w)[:, :, None, :, :, None]
 
-    outs = []
-    pad = (-d) % slice_batch
-    if pad:
-        x = np.concatenate([x, np.zeros((pad, 1, h, w, 1), np.float32)])
-    for start in range(0, x.shape[0], slice_batch):
-        outs.append(np.asarray(fwd(jnp.asarray(x[start:start + slice_batch]))))
-    out = np.concatenate(outs)[:d, 0, :, :, 0]
-    return np.asarray(denormalize_diff(jnp.asarray(out)))
+        def body(chunk):
+            return model.apply(variables, chunk, train=False)
+
+        out = jax.lax.map(body, x)  # (n_chunks, slice_batch, 1, H, W, 1)
+        out = out.reshape(-1, h, w)[:d]
+        return denormalize_diff(out)
+
+    return np.asarray(run(jnp.asarray(vue_volume)))
 
 
 # ------------------------------------------------------------ torch interop

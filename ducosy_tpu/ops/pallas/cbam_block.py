@@ -111,7 +111,7 @@ def block_tail_pallas(h, x, w1, w2, wsa, *, eps: float = EPS, pad: int = 0,
     wsa_flat = wsa.reshape(SA_KERNEL * SA_KERNEL, 2).T.reshape(-1)
     wsa_flat = wsa_flat.astype(jnp.float32)  # (2*49,): avg taps then max taps
     out_shape = (n, hh + 2 * pad, ww + 2 * pad, c)
-    vspace = pltpu.ANY if interpret else pltpu.VMEM
+    vspace = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         functools.partial(_kernel, eps=eps, pad=pad, x_pad=x_pad),
         out_shape=jax.ShapeDtypeStruct(out_shape, h.dtype),
@@ -273,7 +273,7 @@ def block_tail_bwd_pallas(h, g, w1, w2, wsa, *, eps: float = EPS,
 
     n, hh, ww, c = h.shape
     r = w1.shape[1]
-    vspace = pltpu.ANY if interpret else pltpu.VMEM
+    vspace = pl.ANY if interpret else pltpu.VMEM
     w1f = w1.astype(jnp.float32)
     w2f = w2.astype(jnp.float32)
 

@@ -206,11 +206,11 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
         grid=grid,
         in_specs=[pl.BlockSpec((1, h, w, bc),
                                lambda i, j: (i, 0, 0, j),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, h + 2 * pad, w + 2 * pad, bc),
                                lambda i, j: (i, 0, 0, j),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=limit),
@@ -268,7 +268,7 @@ def instance_norm_bwd_pallas(x: jax.Array, g: jax.Array, *,
     bc = min(block_c, c)
     if c % bc != 0:
         bc = c
-    vspace = pltpu.ANY if interpret else pltpu.VMEM
+    vspace = pl.ANY if interpret else pltpu.VMEM
     # x + g + dx double-buffered windows plus working registers; shape-
     # aware like the forward (encoder shapes at 256^2 x 128ch)
     window = (h + 2 * pad) * (w + 2 * pad) * bc * x.dtype.itemsize

@@ -42,15 +42,31 @@ def _with_masks(img: jnp.ndarray, batch: Batch) -> jnp.ndarray:
     return jnp.concatenate([img, masks], axis=-1)
 
 
-def _forward_all(gen_apply, params_a2b, params_b2a, batch: Batch):
-    """The six generator forwards of one step (trainer.py:464-480)."""
+def _forward_all(gen_apply, params_a2b, params_b2a, batch: Batch, *,
+                 batched: bool = False):
+    """The six generator forwards of one step (trainer.py:464-480).
+
+    batched=True folds the six into FOUR by concatenating the two inputs
+    that share weights along the batch axis (fake+identity per direction;
+    the two reconstructions depend on the fakes and stay separate). Exact:
+    InstanceNorm statistics and CBAM gates are per-sample, so a 2N-batch
+    forward computes the identical function — only the dispatch count and
+    MXU tile occupancy change. Default is decided by hardware A/B
+    (scripts/ab_batched_step.py)."""
     real_a, real_b = batch["a"], batch["b"]
     in_a = _with_masks(real_a, batch)
     in_b = _with_masks(real_b, batch)
-    fake_b = gen_apply(params_a2b, in_a)
-    fake_a = gen_apply(params_b2a, in_b)
-    id_a = gen_apply(params_b2a, in_a)
-    id_b = gen_apply(params_a2b, in_b)
+    if batched:
+        n = in_a.shape[0]
+        out_ab = gen_apply(params_a2b, jnp.concatenate([in_a, in_b], axis=0))
+        fake_b, id_b = out_ab[:n], out_ab[n:]
+        out_ba = gen_apply(params_b2a, jnp.concatenate([in_b, in_a], axis=0))
+        fake_a, id_a = out_ba[:n], out_ba[n:]
+    else:
+        fake_b = gen_apply(params_a2b, in_a)
+        fake_a = gen_apply(params_b2a, in_b)
+        id_a = gen_apply(params_b2a, in_a)
+        id_b = gen_apply(params_a2b, in_b)
     rec_a = gen_apply(params_b2a, _with_masks(fake_b, batch))
     rec_b = gen_apply(params_a2b, _with_masks(fake_a, batch))
     return fake_a, fake_b, id_a, id_b, rec_a, rec_b
@@ -60,7 +76,8 @@ def make_train_step(gen, disc, cfg: TrainConfig,
                     loss_cfg: LossConfig = LossConfig(), *,
                     donate: bool = True, remat: bool = True,
                     n_real: int | None = None,
-                    gen_forward: str = "module"):
+                    gen_forward: str = "module",
+                    batched_forwards: bool = False):
     """Build the jitted (state, batch) -> (state, metrics) step.
 
     When the batch carries a per-sample "weight" vector (a wrap-padded
@@ -117,7 +134,8 @@ def make_train_step(gen, disc, cfg: TrainConfig,
 
     def g_loss_fn(g_params, state: CycleGANState, batch: Batch):
         fake_a, fake_b, id_a, id_b, rec_a, rec_b = _forward_all(
-            gen_apply, g_params["a2b"], g_params["b2a"], batch)
+            gen_apply, g_params["a2b"], g_params["b2a"], batch,
+            batched=batched_forwards)
         terms = loss_terms(
             batch["a"], batch["b"], fake_a, fake_b, rec_a, rec_b,
             id_a, id_b,
@@ -127,9 +145,16 @@ def make_train_step(gen, disc, cfg: TrainConfig,
         return terms.total, (terms, fake_a, fake_b)
 
     def d_loss_fn(d_params, real, fake, sample_weight):
+        fake = jax.lax.stop_gradient(fake)
+        if batched_forwards:
+            # one 2N-batch PatchGAN forward (IN stats are per-sample: exact)
+            n = real.shape[0]
+            logits = disc_apply(d_params, jnp.concatenate([real, fake],
+                                                          axis=0))
+            return discriminator_loss(logits[:n], logits[n:], sample_weight)
         return discriminator_loss(
             disc_apply(d_params, real),
-            disc_apply(d_params, jax.lax.stop_gradient(fake)),
+            disc_apply(d_params, fake),
             sample_weight)
 
     def step(state: CycleGANState, batch: Batch):

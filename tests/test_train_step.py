@@ -228,3 +228,30 @@ def test_packed_train_step_matches_module(setup, rng):
     for k in m_mod:
         np.testing.assert_allclose(float(m_pk[k]), float(m_mod[k]),
                                    rtol=5e-5, err_msg=k)
+
+
+def test_batched_forwards_step_matches_unbatched(setup, rng):
+    """batched_forwards=True (6 generator forwards folded into 4, paired
+    2N-batch discriminator forwards) is the same math — IN statistics and
+    CBAM gates are per-sample — so every loss must match the unbatched
+    step (fp32, tiny shapes)."""
+    state, gen, disc = setup
+    batch = _batch(rng)
+    step_u = make_train_step(gen, disc, CFG, donate=False)
+    step_b = make_train_step(gen, disc, CFG, donate=False,
+                             batched_forwards=True)
+    su, m_u = step_u(state, batch)
+    sb, m_b = step_b(state, batch)
+    for k in m_u:
+        np.testing.assert_allclose(float(m_b[k]), float(m_u[k]),
+                                   rtol=5e-6, err_msg=k)
+    # parameter updates match too (same gradients through the fold). Adam
+    # rescales each element by 1/sqrt(v), so a near-zero gradient element
+    # can flip sign under the 2N-batch reduction order and move a full
+    # lr=2e-4 the other way — tolerance is the one-step update scale; a
+    # structural error would shift whole tensors (and the losses above).
+    for name in ("params_g_a2b", "params_d_a"):
+        for u, b in zip(jax.tree_util.tree_leaves(getattr(su, name)),
+                        jax.tree_util.tree_leaves(getattr(sb, name))):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(u),
+                                       atol=2.5 * CFG.lr)
