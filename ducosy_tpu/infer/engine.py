@@ -55,9 +55,24 @@ class DualGeneratorEngine:
         # (75 vs 63.5 slices/s compute-bound at chunk 32) — so plain XLA is
         # now the default and the kernel stays available for toolchains
         # where it wins. Always re-A/B after a toolchain change.
-        # optional 1-D data mesh: shards each chunk's slice batch across
-        # devices inside the fused patient program
+        # optional device mesh: a 1-D ("data",) mesh shards each chunk's
+        # slice batch across devices inside the fused patient program; a 2-D
+        # ("data", "sp") mesh (parallel.data_sp_mesh) additionally shards
+        # image rows over 'sp' — XLA SPMD inserts the conv halo exchanges —
+        # for latency-critical serving where slices < chips
         self.mesh = mesh
+        self._sp = 1
+        if mesh is not None:
+            from ducosy_tpu.parallel.mesh import SP_AXIS
+            self._sp = int(mesh.shape.get(SP_AXIS, 1))
+        if self._sp > 1:
+            if forward == "packed" or quant or trunk_int8 or fused_norm:
+                raise ValueError(
+                    "spatial ('sp') sharding partitions the H axis, which "
+                    "the packed space-to-depth forward, the Pallas kernels "
+                    "and the quantized modes don't support — use "
+                    "forward='module' (the 'auto' default under sp)")
+            forward = "module"
         self.st_range = st_range
         self.lung_range = lung_range
         self.img_size = img_size
@@ -349,10 +364,16 @@ class DualGeneratorEngine:
         for the z-coupled postprocess — the multi-chip serving path
         (BASELINE.md's v5e-8 target). chunk must divide by the mesh size."""
         z, h, w = stored_volume.shape
-        if self.mesh is not None and chunk % int(self.mesh.devices.size):
-            raise ValueError(
-                f"chunk={chunk} not divisible by mesh size "
-                f"{int(self.mesh.devices.size)}")
+        if self.mesh is not None:
+            from ducosy_tpu.parallel.mesh import DATA_AXIS
+            dp = int(self.mesh.shape.get(DATA_AXIS, 1))
+            if chunk % dp:
+                raise ValueError(
+                    f"chunk={chunk} not divisible by data-axis size {dp}")
+            if h % self._sp:
+                raise ValueError(
+                    f"image height {h} not divisible by sp-axis size "
+                    f"{self._sp}")
         pad = (-z) % chunk
         stored = np.concatenate(
             [stored_volume, stored_volume[-1:].repeat(pad, axis=0)]
@@ -401,10 +422,15 @@ class DualGeneratorEngine:
                 for k, v in masks.items()}
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            from ducosy_tpu.parallel.mesh import DATA_AXIS
+            from ducosy_tpu.parallel.mesh import DATA_AXIS, SP_AXIS
+
+            sp = SP_AXIS if SP_AXIS in self.mesh.axis_names else None
 
             def constrain(x):
-                spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+                # (n_chunks, chunk, H, W[, M]): slice batch over 'data',
+                # image rows over 'sp' (GSPMD inserts the conv halo
+                # exchanges and IN-stat partial reductions)
+                spec = P(None, DATA_AXIS, sp, *([None] * (x.ndim - 3)))
                 return jax.lax.with_sharding_constraint(
                     x, NamedSharding(self.mesh, spec))
 

@@ -1,6 +1,7 @@
 from ducosy_tpu.parallel.mesh import (  # noqa: F401
     batch_sharding,
     data_mesh,
+    data_sp_mesh,
     global_shard_batch,
     init_distributed,
     mesh_process_count,

@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SP_AXIS = "sp"
 
 
 def data_mesh(n_devices: int | None = None,
@@ -32,9 +33,31 @@ def data_mesh(n_devices: int | None = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def data_sp_mesh(dp: int, sp: int,
+                 devices: Sequence[Any] | None = None) -> Mesh:
+    """2-D (data, sp) mesh: batch rows over 'data', image rows (the H axis
+    of NHWC tensors) over 'sp'. XLA's SPMD partitioner inserts the conv
+    halo exchanges and turns full-image reductions (InstanceNorm statistics)
+    into per-shard partials + an 'sp' all-reduce — no manual collectives.
+    Spatial sharding divides the per-chip activation footprint by `sp`, the
+    lever when the batch axis alone can't (latency-critical small batches,
+    or activation-bound steps that would otherwise need remat)."""
+    if devices is None:
+        devices = jax.devices()
+    if dp * sp > len(devices):
+        raise ValueError(f"mesh {dp}x{sp} exceeds {len(devices)} devices")
+    return Mesh(np.asarray(devices[:dp * sp]).reshape(dp, sp),
+                (DATA_AXIS, SP_AXIS))
+
+
 def batch_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
-    """Shard the leading (batch) axis over the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    """Shard the leading (batch) axis over the data axis; when the mesh has
+    an 'sp' axis, image-shaped arrays (ndim >= 3) also shard their H axis
+    (axis 1: NHWC / NHWM) over it."""
+    spec = [DATA_AXIS] + [None] * (ndim - 1)
+    if SP_AXIS in mesh.axis_names and ndim >= 3:
+        spec[1] = SP_AXIS
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -61,9 +84,16 @@ def process_row_slice(mesh: Mesh, global_batch: int) -> slice:
     This is the per-host input-feed contract: each host loads only these
     rows and assembles the global array with `global_shard_batch`."""
     devs = list(mesh.devices.flat)
-    if global_batch % len(devs) != 0:
+    n_data = int(mesh.shape.get(DATA_AXIS, len(devs)))
+    if len(devs) != n_data and mesh_process_count(mesh) > 1:
+        # batch rows shard dp-ways only; mapping a (data, sp) mesh's rows
+        # onto processes needs each host to span whole sp rows — not a
+        # supported feed yet (single-host sp meshes never get here)
+        raise NotImplementedError(
+            "per-process input feed over a multi-host (data, sp) mesh")
+    if global_batch % n_data != 0:
         raise ValueError(f"global batch {global_batch} not divisible by "
-                         f"{len(devs)} mesh devices")
+                         f"{n_data} data-axis devices")
     rows = global_batch // len(devs)
     pos = [i for i, d in enumerate(devs)
            if d.process_index == jax.process_index()]

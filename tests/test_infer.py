@@ -376,3 +376,50 @@ def test_masks_threaded_matches_serial():
     assert set(serial) == set(threaded)
     for k in serial:
         np.testing.assert_array_equal(threaded[k], serial[k])
+
+
+def test_run_patient_spatial_mesh(rng):
+    """(data, sp) mesh: slice batch over 'data', image rows over 'sp' —
+    XLA SPMD inserts the conv halo exchanges; output must match the
+    single-device program."""
+    from ducosy_tpu.parallel import data_sp_mesh
+
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    p2 = gen.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 1)))["params"]
+    stored = rng.integers(0, 3000, (16, 32, 32)).astype(np.int16)
+
+    single = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                                 compute_dtype=jnp.float32)
+    ref = single.run_patient(stored, 1.0, -1024.0, chunk=8)
+
+    for dp, sp in ((2, 4), (1, 8)):
+        mesh = data_sp_mesh(dp, sp)
+        eng = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                                  compute_dtype=jnp.float32, mesh=mesh)
+        got = eng.run_patient(stored, 1.0, -1024.0, chunk=8)
+        assert np.mean(np.abs(got.astype(np.int32)
+                              - ref.astype(np.int32)) <= 1) > 0.999, (dp, sp)
+
+    # H not divisible by sp
+    mesh = data_sp_mesh(1, 8)
+    eng = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                              compute_dtype=jnp.float32, mesh=mesh)
+    with pytest.raises(ValueError):
+        eng.run_patient(rng.integers(0, 10, (16, 36, 36)).astype(np.int16),
+                        1.0, -1024.0, chunk=8)
+
+
+def test_spatial_mesh_rejects_pallas_modes(rng):
+    from ducosy_tpu.parallel import data_sp_mesh
+
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    mesh = data_sp_mesh(2, 4)
+    for kw in ({"forward": "packed"}, {"quant": "trunk"},
+               {"fused_norm": True}):
+        with pytest.raises(ValueError):
+            DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
+                                mesh=mesh, **kw)

@@ -255,3 +255,34 @@ def test_batched_forwards_step_matches_unbatched(setup, rng):
                         jax.tree_util.tree_leaves(getattr(sb, name))):
             np.testing.assert_allclose(np.asarray(b), np.asarray(u),
                                        atol=2.5 * CFG.lr)
+
+
+def test_spatial_parallel_step_matches_single_device(setup, rng):
+    """Training on a (data, sp) mesh — batch rows over 'data', image rows
+    over 'sp' (shard_batch shards H automatically on such a mesh) — is the
+    same math: XLA partitions the convs with halo exchanges and turns the
+    full-image loss reductions into partials + all-reduce."""
+    from ducosy_tpu.parallel import data_sp_mesh
+
+    state, gen, disc = setup
+    batch = _batch(rng)
+    step = make_train_step(gen, disc, CFG, donate=False)
+    ref_state, ref_metrics = step(state, batch)
+
+    mesh = data_sp_mesh(2, 4)
+    sp_state = replicate(mesh, state)
+    sp_batch = shard_batch(mesh, batch)
+    assert "sp" in str(sp_batch["a"].sharding.spec)
+    sp_state, sp_metrics = step(sp_state, sp_batch)
+
+    for k in ("loss_G", "loss_D", "loss_ssim", "contrast"):
+        np.testing.assert_allclose(float(sp_metrics[k]),
+                                   float(ref_metrics[k]), rtol=2e-4,
+                                   err_msg=k)
+    ref_leaf = np.asarray(
+        jax.tree_util.tree_leaves(ref_state.params_g_a2b)[0])
+    sp_leaf = np.asarray(
+        jax.tree_util.tree_leaves(sp_state.params_g_a2b)[0])
+    diff = np.abs(sp_leaf - ref_leaf)
+    assert diff.max() < 2 * CFG.lr * 2
+    assert np.mean(diff < 1e-5) > 0.99
