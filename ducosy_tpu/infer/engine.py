@@ -48,7 +48,7 @@ class DualGeneratorEngine:
                  img_size: int = 512, compute_dtype=jnp.bfloat16,
                  fused_norm: bool = False, mesh=None,
                  forward: str = "auto", trunk_int8: bool = False,
-                 quant: str | None = None):
+                 quant: str | None = None, trunk: str = "auto"):
         # fused_norm routes InstanceNorm through the Pallas kernel. Round-1
         # measurements had it +17% on this pipeline; the libtpu/XLA upgrade
         # since then improved XLA's own IN fusion and flipped the A/B
@@ -143,6 +143,10 @@ class DualGeneratorEngine:
                 f"forward={forward!r}: needs a TPU with Pallas available "
                 "and img_size divisible by 4)")
         self.quant = quant
+        # trunk: auto/xla/pallas/mega — the packed forward's residual-trunk
+        # implementation (models/fused.generator_apply_packed); "mega"
+        # folds the trunk convs into the Pallas kernels (conv_in.py)
+        self.trunk = trunk
         self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,
                                 static_argnames=("out_h", "out_w"))
@@ -162,7 +166,7 @@ class DualGeneratorEngine:
                 params, x,
                 num_residual_blocks=generator.num_residual_blocks,
                 use_cbam=generator.use_cbam, dtype=self.compute_dtype,
-                quant=self.quant)
+                quant=self.quant, trunk=self.trunk)
         return generator.apply({"params": params}, x)
 
     def _apply_one(self, params, x):

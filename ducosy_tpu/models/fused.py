@@ -38,6 +38,7 @@ import jax.numpy as jnp
 from ducosy_tpu.models import layers
 from ducosy_tpu.models.layers import EPS_INSTANCE_NORM, prec_for, reflect_pad
 from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
+from ducosy_tpu.ops.pallas.conv_in import conv3x3_in_fused, conv_block_tail
 from ducosy_tpu.ops.pallas.instance_norm import (
     INT8_GRID,
     INT8_ZERO_POINT,
@@ -493,6 +494,8 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     if trunk == "auto":
         from ducosy_tpu.ops.pallas.instance_norm import pallas_available
         trunk = "pallas" if pallas_available() else "xla"
+    if trunk not in ("xla", "pallas", "mega"):
+        raise ValueError(f"trunk must be auto/xla/pallas/mega: {trunk!r}")
     # quant: None | "trunk" (the 18 trunk convs int8) | "full" (also the
     # stem/down/up2/head convs at static scales; up1 stays bf16 — its
     # input is the un-normalized residual carry). trunk_int8=True is the
@@ -523,7 +526,12 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     h_out = (x.shape[1] + 6 - p["stem"]["kernel"].shape[0] + 1) // 2
     h = h[:, :h_out, :h_out] + jnp.tile(p["stem"]["bias"], 4).astype(dtype)
 
-    pallas_trunk = trunk == "pallas" and use_cbam
+    pallas_trunk = trunk in ("pallas", "mega") and use_cbam
+    # "mega": the two trunk convs fold INTO the Pallas kernels
+    # (ops/pallas/conv_in.py) — one HBM read of the padded carry per
+    # half-block, nothing between the convs ever leaves VMEM. bf16 only:
+    # the int8 serving path keeps its own conv epilogues.
+    mega_trunk = pallas_trunk and trunk == "mega" and not trunk_int8
     # encoder_fused routes every non-trunk norm through the Pallas IN:
     # down1/down2's directly (TRUE-layout channels; down2's folds the
     # trunk's priming reflect-pad into its output write — measured +5.8%
@@ -617,6 +625,17 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
                                       bp["conv2"]["bias"],
                                       _INT8_NORM_SCALE, dtype=dtype,
                                       zero_point=128)
+            elif mega_trunk:
+                # conv biases drop exactly under the following IN
+                # (ops/pallas/conv_in.py docstring)
+                t = conv3x3_in_fused(hp, bp["conv1"]["kernel"], eps=eps,
+                                     pad=1)
+                hp = conv_block_tail(
+                    t, hp, bp["conv2"]["kernel"], bp["ca"]["fc1"]["kernel"],
+                    bp["ca"]["fc2"]["kernel"], bp["sa"]["conv"]["kernel"],
+                    eps=eps, pad=0 if i == num_residual_blocks - 1 else 1,
+                    x_pad=1)
+                continue
             else:
                 t = conv_trunk(hp, bp["conv1"]["kernel"],
                                bp["conv1"]["bias"])

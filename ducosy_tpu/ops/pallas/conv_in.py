@@ -1,0 +1,251 @@
+"""Mega-fused residual-block kernels: 3x3 conv folded INTO the Pallas
+InstanceNorm / block-tail kernels.
+
+The reference residual block (modules/model.py:68-87) is
+  t = ReLU(IN(conv1(pad(h)))); out = h + CBAM(IN(conv2(pad(t))))
+The packed trunk (models/fused.py, trunk="pallas") already fuses every
+op BETWEEN the convs; these kernels remove the remaining HBM boundary by
+computing the conv itself inside the kernel — the padded activation is
+read from HBM once, the nine shifted (HW, Cin) x (Cin, Cout) taps run on
+the MXU from VMEM, and the InstanceNorm statistics are taken straight off
+the fp32 accumulator without ever materializing the conv result in HBM:
+
+  conv3x3_in_fused:   IN(conv_VALID(hp)) + ReLU, next reflect-pad folded
+                      into the output write.
+  conv_block_tail_fused: h + CBAM(IN(conv_VALID(tp))) — the entire second
+                      half of a residual block (conv2 + IN + channel gate
+                      + spatial gate + skip-add + next pad) in one pass.
+
+Conv biases are intentionally ABSENT from both kernels: InstanceNorm
+subtracts the per-(sample, channel) mean, so a per-channel additive
+constant is exactly a no-op — the .pth biases are simply not loaded into
+this path (parity holds to bf16 rounding, tests/test_conv_in.py).
+
+Per-sample VMEM at trunk shape (130, 130, 256) bf16: ~8.6 MB in + ~8.6 MB
+out + 1.2 MB weights (+8.6 MB skip carry for the tail) — double-buffered
+well under the 128 MB cap; the grid is (N,).
+
+Measured (v5e, slope method, docs/PERF.md round-2 addendum): whole
+residual block 11.27 ms -> 9.43 ms at batch 32 x 128^2 x 256 (1.195x),
+2.67 -> 2.33 ms at batch 8 (conv1+IN only; the tail kernel wins only at
+batch 32). Inference-only: no custom VJP — the training step keeps the
+conv outside the kernel so XLA autodiff handles it.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ducosy_tpu.ops.pallas.instance_norm import (
+    EPS,
+    pallas_available,
+    reflect_pad_hw,
+)
+
+_SA_K = 7  # CBAM spatial-attention kernel size (modules/model.py:27)
+
+
+def _conv_taps(xp, w_ref, hh, ww):
+    """9-tap shifted-matmul 3x3 VALID conv on the MXU; returns the fp32
+    (HH*WW, Cout) accumulator. xp: (HH+2, WW+2, Cin) VMEM block; w_ref
+    holds the (9*Cin, Cout) flattened HWIO kernel."""
+    cin = xp.shape[-1]
+    w = w_ref[...]
+    cout = w.shape[1]
+    acc = jnp.zeros((hh * ww, cout), jnp.float32)
+    for di in range(3):
+        slab = xp[di:di + hh]                  # slice on the untiled axis
+        for dj in range(3):
+            s = slab[:, dj:dj + ww, :].reshape(hh * ww, cin)
+            tap = w[(di * 3 + dj) * cin:(di * 3 + dj + 1) * cin]
+            acc = acc + jnp.dot(s, tap, preferred_element_type=jnp.float32)
+    return acc
+
+
+def _in_stats(acc, count, eps):
+    mean = jnp.sum(acc, axis=0, keepdims=True) / count
+    var = jnp.maximum(
+        jnp.sum(jnp.square(acc - mean), axis=0, keepdims=True) / count, 0.0)
+    return (acc - mean) * jax.lax.rsqrt(var + eps)
+
+
+def _conv_in_kernel(x_ref, w_ref, o_ref, *, relu, eps, pad):
+    xp = x_ref[0]
+    hp_, wp_, _ = xp.shape
+    hh, ww = hp_ - 2, wp_ - 2
+    acc = _conv_taps(xp, w_ref, hh, ww)
+    y = _in_stats(acc, hh * ww, eps)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    y = y.astype(o_ref.dtype).reshape(hh, ww, -1)
+    if pad:
+        y = reflect_pad_hw(y, pad, h_axis=0)
+    o_ref[0] = y
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "eps", "pad",
+                                             "interpret"))
+def conv3x3_in_pallas(xp, w, *, relu=True, eps=EPS, pad=1, interpret=False):
+    """ReLU(IN(conv_VALID(xp, w))), reflect-padded by ``pad``.
+
+    xp: (N, H+2, W+2, Cin) pre-padded activation; w: (3, 3, Cin, Cout)
+    HWIO. No bias argument — see module docstring."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp_, wp_, cin = xp.shape
+    hh, ww = hp_ - 2, wp_ - 2
+    cout = w.shape[-1]
+    wf = w.reshape(9 * cin, cout).astype(xp.dtype)
+    vspace = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_conv_in_kernel, relu=relu, eps=eps, pad=pad),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, hh + 2 * pad, ww + 2 * pad, cout), xp.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp_, wp_, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((9 * cin, cout), lambda i: (0, 0),
+                         memory_space=vspace),
+        ],
+        out_specs=pl.BlockSpec((1, hh + 2 * pad, ww + 2 * pad, cout),
+                               lambda i: (i, 0, 0, 0), memory_space=vspace),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(xp, wf)
+
+
+def _conv_tail_kernel(t_ref, x_ref, w_ref, w1_ref, w2_ref, wsa_ref, o_ref,
+                      *, eps, pad, x_pad):
+    tp = t_ref[0]
+    hp_, wp_, _ = tp.shape
+    hh, ww = hp_ - 2, wp_ - 2
+    count = hh * ww
+    io = o_ref.dtype
+    acc = _conv_taps(tp, w_ref, hh, ww)
+    y = _in_stats(acc, count, eps).astype(io)                # (HW, C)
+    c = y.shape[1]
+
+    # channel gate: shared bottleneck MLP over [avg, max] pools
+    # (modules/model.py:6-24); both pools ride the same (2, C) matmul.
+    avg = jnp.sum(y, axis=0, dtype=jnp.float32) / count
+    mx = jnp.max(y, axis=0).astype(jnp.float32)
+    hid = jnp.maximum(
+        jnp.dot(jnp.stack([avg, mx]), w1_ref[...],
+                preferred_element_type=jnp.float32), 0.0)
+    gates = jnp.dot(hid, w2_ref[...], preferred_element_type=jnp.float32)
+    gate_c = jax.nn.sigmoid(gates[0] + gates[1])             # (C,)
+    t = (y * gate_c.astype(io)[None, :]).reshape(hh, ww, c)
+
+    # spatial gate: 7x7 conv over [channel-mean, channel-max] with zero
+    # ("same") padding (modules/model.py:27-39); the 98 taps are scalars
+    # in SMEM driving VPU shifted adds.
+    p = _SA_K // 2
+    sa_avg = jnp.sum(t, axis=-1, dtype=jnp.float32) / c
+    sa_max = jnp.max(t, axis=-1).astype(jnp.float32)
+
+    def zero_pad(a):
+        zr = jnp.zeros((p, a.shape[1]), a.dtype)
+        a = jnp.concatenate([zr, a, zr], axis=0)
+        zc = jnp.zeros((a.shape[0], p), a.dtype)
+        return jnp.concatenate([zc, a, zc], axis=1)
+
+    avg_p = zero_pad(sa_avg)
+    max_p = zero_pad(sa_max)
+    sacc = jnp.zeros((hh, ww), jnp.float32)
+    for di in range(_SA_K):
+        for dj in range(_SA_K):
+            wa = wsa_ref[di * _SA_K + dj]
+            wm = wsa_ref[_SA_K * _SA_K + di * _SA_K + dj]
+            sacc += (wa * avg_p[di:di + hh, dj:dj + ww]
+                     + wm * max_p[di:di + hh, dj:dj + ww])
+    gate_s = jax.nn.sigmoid(sacc)[:, :, None].astype(io)
+
+    x = x_ref[0]
+    if x_pad:
+        x = x[x_pad:x_pad + hh, x_pad:x_pad + ww]
+    out = x + t * gate_s
+    if pad:
+        out = reflect_pad_hw(out, pad, h_axis=0)
+    o_ref[0] = out.astype(io)
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "pad", "x_pad",
+                                             "interpret"))
+def conv_block_tail_pallas(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1,
+                           x_pad=1, interpret=False):
+    """x(interior) + CBAM(IN(conv_VALID(tp, w))), reflect-padded by
+    ``pad``. tp: (N, H+2, W+2, Cin) pre-padded conv input; x: the
+    residual carry, reflect-padded by ``x_pad`` (only its interior is
+    read). w1/w2: channel-MLP (C, r)/(r, C); wsa: (7, 7, 2, 1) HWIO."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp_, wp_, cin = tp.shape
+    hh, ww = hp_ - 2, wp_ - 2
+    c = w.shape[-1]
+    wf = w.reshape(9 * cin, c).astype(tp.dtype)
+    wsa_flat = wsa.reshape(_SA_K * _SA_K, 2).T.reshape(-1).astype(
+        jnp.float32)
+    vspace = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_conv_tail_kernel, eps=eps, pad=pad, x_pad=x_pad),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, hh + 2 * pad, ww + 2 * pad, c), tp.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp_, wp_, cin), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((1, hh + 2 * x_pad, ww + 2 * x_pad, c),
+                         lambda i: (i, 0, 0, 0), memory_space=vspace),
+            pl.BlockSpec((9 * cin, c), lambda i: (0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((c, w1.shape[1]), lambda i: (0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((w2.shape[0], c), lambda i: (0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((2 * _SA_K * _SA_K,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hh + 2 * pad, ww + 2 * pad, c),
+                               lambda i: (i, 0, 0, 0), memory_space=vspace),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(tp, x, wf, w1.astype(jnp.float32), w2.astype(jnp.float32), wsa_flat)
+
+
+def conv3x3_in_fused(xp, w, *, relu=True, eps=EPS, pad=1):
+    """Pallas on TPU, XLA composition elsewhere (CPU tests)."""
+    if pallas_available():
+        return conv3x3_in_pallas(xp, w, relu=relu, eps=eps, pad=pad)
+    return _xla_conv_in(xp, w, relu=relu, eps=eps, pad=pad)
+
+
+def conv_block_tail(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1, x_pad=1):
+    """Pallas on TPU, XLA composition elsewhere (CPU tests)."""
+    if pallas_available():
+        return conv_block_tail_pallas(tp, x, w, w1, w2, wsa, eps=eps,
+                                      pad=pad, x_pad=x_pad)
+    return _xla_conv_tail(tp, x, w, w1, w2, wsa, eps=eps, pad=pad,
+                          x_pad=x_pad)
+
+
+def _xla_conv_in(xp, w, *, relu, eps, pad):
+    from ducosy_tpu.ops.pallas.instance_norm import instance_norm_fused
+    y = jax.lax.conv_general_dilated(
+        xp, w.astype(xp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return instance_norm_fused(y, relu, eps, pad)
+
+
+def _xla_conv_tail(tp, x, w, w1, w2, wsa, *, eps, pad, x_pad):
+    from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
+    y = jax.lax.conv_general_dilated(
+        tp, w.astype(tp.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return block_tail_fused(y, x, w1, w2, wsa, eps, pad, x_pad)

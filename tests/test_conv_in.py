@@ -1,0 +1,110 @@
+"""Mega-fused conv+IN / conv+block-tail kernels (ops/pallas/conv_in.py).
+
+Reference semantics: modules/model.py:68-87 (residual block = conv ->
+IN -> ReLU -> conv -> IN -> CBAM -> skip-add). The Pallas kernels are
+exercised in interpret mode here; the compiled path is parity-checked and
+A/B'd on hardware (scripts/proto_conv_in.py, docs/PERF.md)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ducosy_tpu.ops.pallas.conv_in import (
+    _xla_conv_in,
+    _xla_conv_tail,
+    conv3x3_in_pallas,
+    conv_block_tail_pallas,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_conv_in_interpret_matches_xla(rng):
+    n, hw, c = 2, 24, 128
+    xp = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                     jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    got = conv3x3_in_pallas(xp, w, interpret=True)
+    ref = _xla_conv_in(xp, w, relu=True, eps=1e-5, pad=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_in_bias_invariance(rng):
+    """The kernel takes no bias: IN's mean subtraction makes any
+    per-channel additive constant a no-op, so the biased XLA composition
+    must agree with the bias-free kernel."""
+    n, hw, c = 1, 16, 128
+    xp = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                     jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((c,)) * 3.0, jnp.float32)
+    y = jax.lax.conv_general_dilated(
+        xp, w, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    from ducosy_tpu.ops.pallas.instance_norm import instance_norm_fused
+    ref = instance_norm_fused(y + b, True, 1e-5, 1)
+    got = conv3x3_in_pallas(xp, w, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_tail_interpret_matches_xla(rng):
+    n, hw, c = 2, 24, 128
+    tp = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                     jnp.float32)
+    x = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                    jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    r = c // 16
+    w1 = jnp.asarray(rng.standard_normal((c, r)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((r, c)) * 0.1, jnp.float32)
+    wsa = jnp.asarray(rng.standard_normal((7, 7, 2, 1)) * 0.1, jnp.float32)
+    for pad in (0, 1):
+        got = conv_block_tail_pallas(tp, x, w, w1, w2, wsa, pad=pad,
+                                     x_pad=1, interpret=True)
+        ref = _xla_conv_tail(tp, x, w, w1, w2, wsa, eps=1e-5, pad=pad,
+                             x_pad=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"pad={pad}")
+
+
+def test_packed_forward_mega_trunk_matches_module(rng):
+    """trunk="mega" end to end: the packed forward with the conv-folded
+    trunk must match the canonical Flax module (CPU exercises the XLA
+    fallback composition, proving the fused.py wiring — bias dropping,
+    pad plumbing, carry layout; the compiled kernels are parity-checked
+    above in interpret mode and on hardware)."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+    from ducosy_tpu.models.generator import Generator
+
+    gen = Generator(input_channels=1, num_residual_blocks=3, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), x)["params"]
+    ref = gen.apply({"params": params}, x)
+    out = generator_apply_packed(params, x, num_residual_blocks=3,
+                                 dtype=jnp.float32, trunk="mega")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_engine_accepts_trunk_flag(rng):
+    """The engine threads trunk= through to the packed forward; on CPU the
+    auto forward is 'module', so force packed via forward='packed'."""
+    from ducosy_tpu.models.generator import Generator
+    from ducosy_tpu.infer.engine import DualGeneratorEngine
+
+    gen = Generator(input_channels=1, num_residual_blocks=2, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(0), x)["params"]
+    eng = DualGeneratorEngine(params, params, img_size=64,
+                              compute_dtype=jnp.float32,
+                              forward="packed", trunk="mega")
+    assert eng.trunk == "mega"
+    vol = rng.integers(-1000, 2000, (3, 64, 64)).astype(np.int16)
+    out = eng.run_patient(vol, 1.0, 0.0)
+    assert out.shape == vol.shape and np.isfinite(out).all()
