@@ -145,7 +145,17 @@ class DualGeneratorEngine:
         self.quant = quant
         # trunk: auto/xla/pallas/mega — the packed forward's residual-trunk
         # implementation (models/fused.generator_apply_packed); "mega"
-        # folds the trunk convs into the Pallas kernels (conv_in.py)
+        # folds the trunk convs into the Pallas kernels (conv_in.py).
+        # Inference has no backward pass, so "auto" resolves to the
+        # inference-only mega kernels here (engine A/B: 100.5 -> 111.5
+        # slices/s at chunk 32, and CLOSER to fp32 truth than the
+        # conv-outside path — scripts/check_mega_fidelity.py); the int8
+        # modes keep their own trunk. generator_apply_packed's own "auto"
+        # stays "pallas" (differentiable) for training.
+        if trunk == "auto" and forward == "packed" and not quant:
+            from ducosy_tpu.ops.pallas import pallas_available
+            if pallas_available():
+                trunk = "mega"
         self.trunk = trunk
         self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,
