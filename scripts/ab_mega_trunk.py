@@ -56,6 +56,19 @@ def rate(trunk, reps=8, n_slices=64, chunk=32):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "chunks":
+        # chunk re-tune for the mega trunk (the faster trunk shifts the
+        # compute/HBM balance; 64 OOM'd with the round-1 trunk)
+        for chunk in (32, 48, 64):
+            try:
+                # keep total slices comparable and n_slices % chunk == 0
+                r, _ = rate("mega", chunk=chunk, n_slices=2 * chunk,
+                            reps=512 // (2 * chunk))
+                print(f"mega chunk={chunk}: {r:.1f} slices/s", flush=True)
+            except Exception as e:  # noqa: BLE001 — OOM reporting
+                print(f"mega chunk={chunk}: FAILED "
+                      f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+        sys.exit(0)
     r0, o0 = rate("pallas")
     print(f"control (trunk=pallas): {r0:.1f} slices/s", flush=True)
     r1, o1 = rate("mega")
