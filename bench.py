@@ -120,7 +120,10 @@ def main():
     from ducosy_tpu.models import Generator
 
     n_slices = int(os.environ.get("BENCH_SLICES", "64"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    # chunk 64 re-tuned for the mega trunk (scripts/ab_mega_trunk.py
+    # chunks: 111.4 / 114.5 / 116.4 slices/s at 32/48/64 — the fused
+    # kernels freed the HBM that made 64 OOM with the round-1 trunk)
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     train_budget = float(os.environ.get("BENCH_TRAIN_BUDGET_S", "900"))
 
