@@ -120,10 +120,12 @@ def main():
     from ducosy_tpu.models import Generator
 
     n_slices = int(os.environ.get("BENCH_SLICES", "64"))
-    # chunk 64 re-tuned for the mega trunk (scripts/ab_mega_trunk.py
-    # chunks: 111.4 / 114.5 / 116.4 slices/s at 32/48/64 — the fused
-    # kernels freed the HBM that made 64 OOM with the round-1 trunk)
-    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
+    # chunk stays 32: the ab_mega_trunk compute-only sweep favored 64
+    # (116.4 vs 111.4), but the FULL bench path measured head-to-head the
+    # same day says otherwise — 109.9 at chunk 32 vs 105.2 at chunk 64
+    # (the whole-patient program + cross-patient pipelining changes the
+    # scheduling; only this pipeline's own A/B decides the default)
+    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     train_budget = float(os.environ.get("BENCH_TRAIN_BUDGET_S", "900"))
 

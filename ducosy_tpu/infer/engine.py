@@ -149,10 +149,14 @@ class DualGeneratorEngine:
         # Inference has no backward pass, so "auto" resolves to the
         # inference-only mega kernels here (engine A/B: 100.5 -> 111.5
         # slices/s at chunk 32, and CLOSER to fp32 truth than the
-        # conv-outside path — scripts/check_mega_fidelity.py); the int8
-        # modes keep their own trunk. generator_apply_packed's own "auto"
-        # stays "pallas" (differentiable) for training.
-        if trunk == "auto" and forward == "packed" and not quant:
+        # conv-outside path — scripts/check_mega_fidelity.py). The quant
+        # modes ride mega too: the tail kernel's nine conv taps run int8
+        # on the MXU with the IN stats taken off the int32 accumulator
+        # (scripts/ab_mega_int8.py: trunk 103.6 -> 120.1, full -> 132.0
+        # slices/s, fidelity slightly BETTER than the non-mega int8 path).
+        # generator_apply_packed's own "auto" stays "pallas"
+        # (differentiable) for training.
+        if trunk == "auto" and forward == "packed":
             from ducosy_tpu.ops.pallas import pallas_available
             if pallas_available():
                 trunk = "mega"

@@ -529,9 +529,11 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     pallas_trunk = trunk in ("pallas", "mega") and use_cbam
     # "mega": the two trunk convs fold INTO the Pallas kernels
     # (ops/pallas/conv_in.py) — one HBM read of the padded carry per
-    # half-block, nothing between the convs ever leaves VMEM. bf16 only:
-    # the int8 serving path keeps its own conv epilogues.
-    mega_trunk = pallas_trunk and trunk == "mega" and not trunk_int8
+    # half-block, nothing between the convs ever leaves VMEM. Under the
+    # quant modes the first kernel's output write emits shifted-grid int8
+    # and the tail's taps run on the int8 MXU (scripts/ab_mega_int8.py:
+    # trunk 120.1, full 132.0 slices/s vs 111.0 bf16 mega).
+    mega_trunk = pallas_trunk and trunk == "mega"
     # encoder_fused routes every non-trunk norm through the Pallas IN:
     # down1/down2's directly (TRUE-layout channels; down2's folds the
     # trunk's priming reflect-pad into its output write — measured +5.8%
@@ -607,6 +609,22 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
             hp = reflect_pad(_instance_norm_xla(h, relu=True), 1)
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
+            if mega_trunk:
+                # conv biases drop exactly under the following IN
+                # (ops/pallas/conv_in.py docstring). Under quant the first
+                # kernel's output write emits shifted-grid int8 and the
+                # tail's nine conv taps ride the int8 MXU path with the IN
+                # statistics taken straight off the int32 accumulator —
+                # no dequantization exists anywhere in the trunk.
+                scale = _INT8_NORM_SCALE if trunk_int8 else None
+                t = conv3x3_in_fused(hp, bp["conv1"]["kernel"], eps=eps,
+                                     pad=1, int8_scale=scale)
+                hp = conv_block_tail(
+                    t, hp, bp["conv2"]["kernel"], bp["ca"]["fc1"]["kernel"],
+                    bp["ca"]["fc2"]["kernel"], bp["sa"]["conv"]["kernel"],
+                    eps=eps, pad=0 if i == num_residual_blocks - 1 else 1,
+                    x_pad=1, in_int8_scale=scale)
+                continue
             if trunk_int8:
                 # fused quantized serving: the IN kernel emits SHIFTED-grid
                 # int8 at a static post-norm scale (its output write — zero

@@ -49,18 +49,21 @@ _SA_K = 7  # CBAM spatial-attention kernel size (modules/model.py:27)
 
 def _conv_taps(xp, w_ref, hh, ww):
     """9-tap shifted-matmul 3x3 VALID conv on the MXU; returns the fp32
-    (HH*WW, Cout) accumulator. xp: (HH+2, WW+2, Cin) VMEM block; w_ref
-    holds the (9*Cin, Cout) flattened HWIO kernel."""
+    (HH*WW, Cout) accumulator — or the exact int32 accumulator when both
+    operands are int8 (the v5e's int8 MXU path, ~1.6x bf16). xp:
+    (HH+2, WW+2, Cin) VMEM block; w_ref holds the (9*Cin, Cout) flattened
+    HWIO kernel."""
     cin = xp.shape[-1]
     w = w_ref[...]
     cout = w.shape[1]
-    acc = jnp.zeros((hh * ww, cout), jnp.float32)
+    acc_t = jnp.int32 if xp.dtype == jnp.int8 else jnp.float32
+    acc = jnp.zeros((hh * ww, cout), acc_t)
     for di in range(3):
         slab = xp[di:di + hh]                  # slice on the untiled axis
         for dj in range(3):
             s = slab[:, dj:dj + ww, :].reshape(hh * ww, cin)
             tap = w[(di * 3 + dj) * cin:(di * 3 + dj + 1) * cin]
-            acc = acc + jnp.dot(s, tap, preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(s, tap, preferred_element_type=acc_t)
     return acc
 
 
@@ -71,7 +74,7 @@ def _in_stats(acc, count, eps):
     return (acc - mean) * jax.lax.rsqrt(var + eps)
 
 
-def _conv_in_kernel(x_ref, w_ref, o_ref, *, relu, eps, pad):
+def _conv_in_kernel(x_ref, w_ref, o_ref, *, relu, eps, pad, int8_scale):
     xp = x_ref[0]
     hp_, wp_, _ = xp.shape
     hh, ww = hp_ - 2, wp_ - 2
@@ -79,31 +82,53 @@ def _conv_in_kernel(x_ref, w_ref, o_ref, *, relu, eps, pad):
     y = _in_stats(acc, hh * ww, eps)
     if relu:
         y = jnp.maximum(y, 0.0)
-    y = y.astype(o_ref.dtype).reshape(hh, ww, -1)
+    y = y.reshape(hh, ww, -1)
+    if int8_scale is not None:
+        # quantized serving: emit SHIFTED-grid int8 at the static post-norm
+        # scale so the consuming tail kernel runs its taps on the int8 MXU
+        # path. y >= 0 (relu required), so trunc of y*k + 0.5 IS
+        # round-half-up; the trunc happens on the non-negative value
+        # BEFORE the -128 shift (instance_norm.py grid semantics).
+        # Quantize BEFORE the pad: the reflect pad then copies int8 rows
+        # (exact, and a quarter of the fp32 traffic).
+        from ducosy_tpu.ops.pallas.instance_norm import (
+            INT8_GRID, INT8_ZERO_POINT)
+        k = jnp.float32(INT8_GRID / int8_scale)
+        q = jnp.minimum(y * k + jnp.float32(0.5), jnp.float32(INT8_GRID))
+        y = (q.astype(jnp.int32) - INT8_ZERO_POINT).astype(jnp.int8)
+    else:
+        y = y.astype(o_ref.dtype)
     if pad:
         y = reflect_pad_hw(y, pad, h_axis=0)
-    o_ref[0] = y
+    o_ref[0] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "eps", "pad",
-                                             "interpret"))
-def conv3x3_in_pallas(xp, w, *, relu=True, eps=EPS, pad=1, interpret=False):
+                                             "int8_scale", "interpret"))
+def conv3x3_in_pallas(xp, w, *, relu=True, eps=EPS, pad=1, int8_scale=None,
+                      interpret=False):
     """ReLU(IN(conv_VALID(xp, w))), reflect-padded by ``pad``.
 
     xp: (N, H+2, W+2, Cin) pre-padded activation; w: (3, 3, Cin, Cout)
-    HWIO. No bias argument — see module docstring."""
+    HWIO. No bias argument — see module docstring. ``int8_scale`` emits
+    the output on the shifted int8 grid (requires relu=True) for the
+    quantized mega trunk."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if int8_scale is not None:
+        assert relu, "int8_scale requires relu=True (non-negative outputs)"
     n, hp_, wp_, cin = xp.shape
     hh, ww = hp_ - 2, wp_ - 2
     cout = w.shape[-1]
     wf = w.reshape(9 * cin, cout).astype(xp.dtype)
     vspace = pl.ANY if interpret else pltpu.VMEM
+    out_dtype = jnp.int8 if int8_scale is not None else xp.dtype
     return pl.pallas_call(
-        functools.partial(_conv_in_kernel, relu=relu, eps=eps, pad=pad),
+        functools.partial(_conv_in_kernel, relu=relu, eps=eps, pad=pad,
+                          int8_scale=int8_scale),
         out_shape=jax.ShapeDtypeStruct(
-            (n, hh + 2 * pad, ww + 2 * pad, cout), xp.dtype),
+            (n, hh + 2 * pad, ww + 2 * pad, cout), out_dtype),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, hp_, wp_, cin), lambda i: (i, 0, 0, 0),
@@ -127,7 +152,12 @@ def _conv_tail_kernel(t_ref, x_ref, w_ref, w1_ref, w2_ref, wsa_ref, o_ref,
     count = hh * ww
     io = o_ref.dtype
     acc = _conv_taps(tp, w_ref, hh, ww)
-    y = _in_stats(acc, count, eps).astype(io)                # (HW, C)
+    # int8 inputs: the exact int32 accumulator goes STRAIGHT into the IN
+    # statistics — InstanceNorm is invariant to per-channel affine maps,
+    # so the weight-quantization scale ws_c AND the shifted grid's
+    # 128*sum(wq)_c zero-point constant are absorbed exactly by the mean
+    # subtraction / rsqrt(var); no dequantization exists anywhere.
+    y = _in_stats(acc.astype(jnp.float32), count, eps).astype(io)  # (HW, C)
     c = y.shape[1]
 
     # channel gate: shared bottleneck MLP over [avg, max] pools
@@ -175,27 +205,40 @@ def _conv_tail_kernel(t_ref, x_ref, w_ref, w1_ref, w2_ref, wsa_ref, o_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "pad", "x_pad",
-                                             "interpret"))
+                                             "in_int8", "interpret"))
 def conv_block_tail_pallas(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1,
-                           x_pad=1, interpret=False):
+                           x_pad=1, in_int8=False, interpret=False):
     """x(interior) + CBAM(IN(conv_VALID(tp, w))), reflect-padded by
     ``pad``. tp: (N, H+2, W+2, Cin) pre-padded conv input; x: the
     residual carry, reflect-padded by ``x_pad`` (only its interior is
-    read). w1/w2: channel-MLP (C, r)/(r, C); wsa: (7, 7, 2, 1) HWIO."""
+    read). w1/w2: channel-MLP (C, r)/(r, C); wsa: (7, 7, 2, 1) HWIO.
+
+    ``in_int8``: tp is shifted-grid int8 (conv3x3_in_pallas's int8_scale
+    write); the 9 conv taps then run int8 x int8 -> exact int32 on the
+    MXU with symmetric per-output-channel int8 weights quantized here
+    in-graph (loop-invariant under lax.map). Neither the weight scale nor
+    the activation scale/zero-point enters the kernel: the conv feeds an
+    InstanceNorm, which absorbs any per-channel affine map exactly."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     n, hp_, wp_, cin = tp.shape
     hh, ww = hp_ - 2, wp_ - 2
     c = w.shape[-1]
-    wf = w.reshape(9 * cin, c).astype(tp.dtype)
+    if in_int8:
+        assert tp.dtype == jnp.int8, tp.dtype
+        w32 = w.reshape(9 * cin, c).astype(jnp.float32)
+        ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=0), 1e-12) / 127.0
+        wf = jnp.round(w32 / ws).astype(jnp.int8)
+    else:
+        wf = w.reshape(9 * cin, c).astype(tp.dtype)
     wsa_flat = wsa.reshape(_SA_K * _SA_K, 2).T.reshape(-1).astype(
         jnp.float32)
     vspace = pl.ANY if interpret else pltpu.VMEM
     return pl.pallas_call(
         functools.partial(_conv_tail_kernel, eps=eps, pad=pad, x_pad=x_pad),
         out_shape=jax.ShapeDtypeStruct(
-            (n, hh + 2 * pad, ww + 2 * pad, c), tp.dtype),
+            (n, hh + 2 * pad, ww + 2 * pad, c), x.dtype),
         grid=(n,),
         in_specs=[
             pl.BlockSpec((1, hp_, wp_, cin), lambda i: (i, 0, 0, 0),
@@ -219,33 +262,65 @@ def conv_block_tail_pallas(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1,
     )(tp, x, wf, w1.astype(jnp.float32), w2.astype(jnp.float32), wsa_flat)
 
 
-def conv3x3_in_fused(xp, w, *, relu=True, eps=EPS, pad=1):
+def conv3x3_in_fused(xp, w, *, relu=True, eps=EPS, pad=1, int8_scale=None):
     """Pallas on TPU, XLA composition elsewhere (CPU tests)."""
     if pallas_available():
-        return conv3x3_in_pallas(xp, w, relu=relu, eps=eps, pad=pad)
-    return _xla_conv_in(xp, w, relu=relu, eps=eps, pad=pad)
+        return conv3x3_in_pallas(xp, w, relu=relu, eps=eps, pad=pad,
+                                 int8_scale=int8_scale)
+    return _xla_conv_in(xp, w, relu=relu, eps=eps, pad=pad,
+                        int8_scale=int8_scale)
 
 
-def conv_block_tail(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1, x_pad=1):
-    """Pallas on TPU, XLA composition elsewhere (CPU tests)."""
+def conv_block_tail(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1, x_pad=1,
+                    in_int8_scale=None):
+    """Pallas on TPU, XLA composition elsewhere (CPU tests).
+
+    ``in_int8_scale``: tp is shifted-grid int8 produced at this static
+    activation scale. The Pallas kernel never uses the scale (the IN
+    absorbs every per-channel affine); only the XLA fallback needs it to
+    dequantize for the plain conv."""
     if pallas_available():
         return conv_block_tail_pallas(tp, x, w, w1, w2, wsa, eps=eps,
-                                      pad=pad, x_pad=x_pad)
+                                      pad=pad, x_pad=x_pad,
+                                      in_int8=in_int8_scale is not None)
     return _xla_conv_tail(tp, x, w, w1, w2, wsa, eps=eps, pad=pad,
-                          x_pad=x_pad)
+                          x_pad=x_pad, in_int8_scale=in_int8_scale)
 
 
-def _xla_conv_in(xp, w, *, relu, eps, pad):
-    from ducosy_tpu.ops.pallas.instance_norm import instance_norm_fused
+def _xla_conv_in(xp, w, *, relu, eps, pad, int8_scale=None):
+    from ducosy_tpu.ops.pallas.instance_norm import (
+        instance_norm_fused, instance_norm_int8)
     y = jax.lax.conv_general_dilated(
         xp, w.astype(xp.dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if int8_scale is not None:
+        return instance_norm_int8(y, eps=eps, pad=pad, scale=int8_scale)
     return instance_norm_fused(y, relu, eps, pad)
 
 
-def _xla_conv_tail(tp, x, w, w1, w2, wsa, *, eps, pad, x_pad):
+def _xla_conv_tail(tp, x, w, w1, w2, wsa, *, eps, pad, x_pad,
+                   in_int8_scale=None):
     from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
-    y = jax.lax.conv_general_dilated(
-        tp, w.astype(tp.dtype), (1, 1), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if in_int8_scale is not None:
+        # shifted-grid int8 conv with the dequantization as the conv
+        # epilogue (fused.py _conv_int8_static semantics); the following
+        # IN absorbs the affine anyway, but dequantizing keeps the bf16
+        # intermediate well-scaled for block_tail_fused.
+        from ducosy_tpu.ops.pallas.instance_norm import (
+            INT8_GRID, INT8_ZERO_POINT)
+        w32 = w.astype(jnp.float32)
+        ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
+                         1e-12) / 127.0
+        wq = jnp.round(w32 / ws).astype(jnp.int8)
+        acc = jax.lax.conv_general_dilated(
+            tp, wq, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        acc = acc + INT8_ZERO_POINT * jnp.sum(wq.astype(jnp.float32),
+                                              axis=(0, 1, 2))
+        y = (acc * (ws * (in_int8_scale / INT8_GRID))).astype(x.dtype)
+    else:
+        y = jax.lax.conv_general_dilated(
+            tp, w.astype(tp.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return block_tail_fused(y, x, w1, w2, wsa, eps, pad, x_pad)

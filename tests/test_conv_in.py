@@ -108,3 +108,66 @@ def test_engine_accepts_trunk_flag(rng):
     vol = rng.integers(-1000, 2000, (3, 64, 64)).astype(np.int16)
     out = eng.run_patient(vol, 1.0, 0.0)
     assert out.shape == vol.shape and np.isfinite(out).all()
+
+
+def test_conv_in_int8_write_matches_xla_grid(rng):
+    """int8_scale: the kernel's quantized output write must land on the
+    same shifted grid as instance_norm_int8 applied to the XLA conv
+    (boundary rounding may differ by one quantization step)."""
+    n, hw, c = 2, 24, 128
+    xp = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                     jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    got = conv3x3_in_pallas(xp, w, int8_scale=6.0, interpret=True)
+    ref = _xla_conv_in(xp, w, relu=True, eps=1e-5, pad=1, int8_scale=6.0)
+    assert got.dtype == jnp.int8 and ref.dtype == jnp.int8
+    diff = np.abs(np.asarray(got, np.int32) - np.asarray(ref, np.int32))
+    assert diff.max() <= 1, diff.max()
+    assert (diff > 0).mean() < 0.01, (diff > 0).mean()
+
+
+def test_conv_tail_int8_matches_xla(rng):
+    """in_int8: the tail's int8 MXU taps feed the IN statistics straight
+    off the int32 accumulator; that must agree with the XLA fallback's
+    dequantize-then-normalize (IN is invariant to per-channel affines)."""
+    n, hw, c = 2, 24, 128
+    tp = jnp.asarray(rng.integers(-128, 128, (n, hw + 2, hw + 2, c)),
+                     jnp.int8)
+    x = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                    jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    r = c // 16
+    w1 = jnp.asarray(rng.standard_normal((c, r)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((r, c)) * 0.1, jnp.float32)
+    wsa = jnp.asarray(rng.standard_normal((7, 7, 2, 1)) * 0.1, jnp.float32)
+    for pad in (0, 1):
+        got = conv_block_tail_pallas(tp, x, w, w1, w2, wsa, pad=pad,
+                                     x_pad=1, in_int8=True, interpret=True)
+        ref = _xla_conv_tail(tp, x, w, w1, w2, wsa, eps=1e-5, pad=pad,
+                             x_pad=1, in_int8_scale=6.0)
+        assert got.dtype == x.dtype
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pad={pad}")
+
+
+def test_packed_forward_mega_int8_close_to_fp32(rng):
+    """trunk='mega' + quant='trunk' end to end (CPU exercises the XLA
+    fallback composition): the quantized mega trunk must track the fp32
+    forward within the same budget as the non-mega int8 path — the INs
+    absorb every quantization scale, leaving 8-bit rounding noise."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+    from ducosy_tpu.models.generator import Generator
+
+    gen = Generator(input_channels=1, num_residual_blocks=2, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(3), x)["params"]
+    ref = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32))
+    out = np.asarray(generator_apply_packed(
+        params, x, num_residual_blocks=2, dtype=jnp.float32,
+        trunk="mega", quant="trunk"))
+    err = np.abs(out - ref)
+    assert err.max() < 0.05, err.max()
+    assert err.mean() < 0.01, err.mean()
