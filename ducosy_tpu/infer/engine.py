@@ -143,23 +143,27 @@ class DualGeneratorEngine:
                 f"forward={forward!r}: needs a TPU with Pallas available "
                 "and img_size divisible by 4)")
         self.quant = quant
-        # trunk: auto/xla/pallas/mega — the packed forward's residual-trunk
-        # implementation (models/fused.generator_apply_packed); "mega"
-        # folds the trunk convs into the Pallas kernels (conv_in.py).
+        # trunk: auto/xla/pallas/mega/mono — the packed forward's
+        # residual-trunk implementation (models/fused.
+        # generator_apply_packed); "mega" folds the trunk convs into the
+        # Pallas kernels (conv_in.py), "mono" fuses the WHOLE residual
+        # block into one kernel (the intermediate never leaves VMEM).
         # Inference has no backward pass, so "auto" resolves to the
-        # inference-only mega kernels here (engine A/B: 100.5 -> 111.5
-        # slices/s at chunk 32, and CLOSER to fp32 truth than the
-        # conv-outside path — scripts/check_mega_fidelity.py). The quant
-        # modes ride mega too: the tail kernel's nine conv taps run int8
-        # on the MXU with the IN stats taken off the int32 accumulator
-        # (scripts/ab_mega_int8.py: trunk 103.6 -> 120.1, full -> 132.0
-        # slices/s, fidelity slightly BETTER than the non-mega int8 path).
-        # generator_apply_packed's own "auto" stays "pallas"
-        # (differentiable) for training.
+        # inference-only fused kernels here: mono for bf16 (engine A/B
+        # scripts/ab_mono.py: 111.9 -> 115.5 slices/s over mega,
+        # bit-identical output; mega itself was +11% over conv-outside
+        # and CLOSER to fp32 truth — scripts/check_mega_fidelity.py).
+        # The quant modes stay on mega — the tail kernel's nine conv
+        # taps run int8 on the MXU with the IN stats taken off the int32
+        # accumulator (scripts/ab_mega_int8.py: trunk 103.6 -> 120.1,
+        # full -> 132.0 slices/s, fidelity slightly BETTER than the
+        # non-mega int8 path) — pending a mono-quant A/B
+        # (scripts/ab_mono.py quant). generator_apply_packed's own
+        # "auto" stays "pallas" (differentiable) for training.
         if trunk == "auto" and forward == "packed":
             from ducosy_tpu.ops.pallas import pallas_available
             if pallas_available():
-                trunk = "mega"
+                trunk = "mega" if quant else "mono"
         self.trunk = trunk
         self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,

@@ -38,7 +38,9 @@ import jax.numpy as jnp
 from ducosy_tpu.models import layers
 from ducosy_tpu.models.layers import EPS_INSTANCE_NORM, prec_for, reflect_pad
 from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
-from ducosy_tpu.ops.pallas.conv_in import conv3x3_in_fused, conv_block_tail
+from ducosy_tpu.ops.pallas.conv_in import (conv3x3_in_fused,
+                                           conv_block_tail,
+                                           residual_block_fused)
 from ducosy_tpu.ops.pallas.instance_norm import (
     INT8_GRID,
     INT8_ZERO_POINT,
@@ -494,8 +496,9 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     if trunk == "auto":
         from ducosy_tpu.ops.pallas.instance_norm import pallas_available
         trunk = "pallas" if pallas_available() else "xla"
-    if trunk not in ("xla", "pallas", "mega"):
-        raise ValueError(f"trunk must be auto/xla/pallas/mega: {trunk!r}")
+    if trunk not in ("xla", "pallas", "mega", "mono"):
+        raise ValueError(
+            f"trunk must be auto/xla/pallas/mega/mono: {trunk!r}")
     # quant: None | "trunk" (the 18 trunk convs int8) | "full" (also the
     # stem/down/up2/head convs at static scales; up1 stays bf16 — its
     # input is the un-normalized residual carry). trunk_int8=True is the
@@ -526,7 +529,7 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     h_out = (x.shape[1] + 6 - p["stem"]["kernel"].shape[0] + 1) // 2
     h = h[:, :h_out, :h_out] + jnp.tile(p["stem"]["bias"], 4).astype(dtype)
 
-    pallas_trunk = trunk in ("pallas", "mega") and use_cbam
+    pallas_trunk = trunk in ("pallas", "mega", "mono") and use_cbam
     # "mega": the two trunk convs fold INTO the Pallas kernels
     # (ops/pallas/conv_in.py) — one HBM read of the padded carry per
     # half-block, nothing between the convs ever leaves VMEM. Under the
@@ -534,6 +537,9 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     # and the tail's taps run on the int8 MXU (scripts/ab_mega_int8.py:
     # trunk 120.1, full 132.0 slices/s vs 111.0 bf16 mega).
     mega_trunk = pallas_trunk and trunk == "mega"
+    # "mono": the whole residual block as ONE Pallas kernel (the
+    # intermediate never leaves VMEM); inference-only like mega.
+    mono_trunk = pallas_trunk and trunk == "mono"
     # encoder_fused routes every non-trunk norm through the Pallas IN:
     # down1/down2's directly (TRUE-layout channels; down2's folds the
     # trunk's priming reflect-pad into its output write — measured +5.8%
@@ -609,6 +615,18 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
             hp = reflect_pad(_instance_norm_xla(h, relu=True), 1)
         for i in range(num_residual_blocks):
             bp = p[f"block{i}"]
+            if mono_trunk:
+                # the ENTIRE block in one kernel: the intermediate
+                # activation never leaves VMEM — one HBM read of the
+                # padded carry and one write per block, vs two of each
+                # for the two-kernel mega path (A/B: scripts/ab_mono.py).
+                hp = residual_block_fused(
+                    hp, bp["conv1"]["kernel"], bp["conv2"]["kernel"],
+                    bp["ca"]["fc1"]["kernel"], bp["ca"]["fc2"]["kernel"],
+                    bp["sa"]["conv"]["kernel"], eps=eps,
+                    pad=0 if i == num_residual_blocks - 1 else 1,
+                    quant=trunk_int8)
+                continue
             if mega_trunk:
                 # conv biases drop exactly under the following IN
                 # (ops/pallas/conv_in.py docstring). Under quant the first
@@ -643,17 +661,6 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
                                       bp["conv2"]["bias"],
                                       _INT8_NORM_SCALE, dtype=dtype,
                                       zero_point=128)
-            elif mega_trunk:
-                # conv biases drop exactly under the following IN
-                # (ops/pallas/conv_in.py docstring)
-                t = conv3x3_in_fused(hp, bp["conv1"]["kernel"], eps=eps,
-                                     pad=1)
-                hp = conv_block_tail(
-                    t, hp, bp["conv2"]["kernel"], bp["ca"]["fc1"]["kernel"],
-                    bp["ca"]["fc2"]["kernel"], bp["sa"]["conv"]["kernel"],
-                    eps=eps, pad=0 if i == num_residual_blocks - 1 else 1,
-                    x_pad=1)
-                continue
             else:
                 t = conv_trunk(hp, bp["conv1"]["kernel"],
                                bp["conv1"]["bias"])

@@ -15,6 +15,12 @@ the fp32 accumulator without ever materializing the conv result in HBM:
   conv_block_tail_fused: h + CBAM(IN(conv_VALID(tp))) — the entire second
                       half of a residual block (conv2 + IN + channel gate
                       + spatial gate + skip-add + next pad) in one pass.
+  residual_block_fused: the WHOLE block as ONE kernel (the two above
+                      back-to-back); the intermediate activation lives
+                      only in VMEM — one HBM read and one write per block.
+                      Engine A/B (scripts/ab_mono.py): 111.9 -> 115.5
+                      slices/s (+3.3%) over the two-kernel path,
+                      bit-identical output.
 
 Conv biases are intentionally ABSENT from both kernels: InstanceNorm
 subtracts the per-(sample, channel) mean, so a per-channel additive
@@ -144,13 +150,14 @@ def conv3x3_in_pallas(xp, w, *, relu=True, eps=EPS, pad=1, int8_scale=None,
     )(xp, wf)
 
 
-def _conv_tail_kernel(t_ref, x_ref, w_ref, w1_ref, w2_ref, wsa_ref, o_ref,
-                      *, eps, pad, x_pad):
-    tp = t_ref[0]
+def _tail_math(tp, x, w_ref, w1_ref, w2_ref, wsa_ref, io, *, eps, pad,
+               x_pad):
+    """x(interior) + CBAM(IN(conv_VALID(tp)))(+pad) on VMEM values — the
+    shared body of the tail kernel and the mono-block kernel. tp is the
+    padded conv input; x the residual carry (reflect-padded by x_pad)."""
     hp_, wp_, _ = tp.shape
     hh, ww = hp_ - 2, wp_ - 2
     count = hh * ww
-    io = o_ref.dtype
     acc = _conv_taps(tp, w_ref, hh, ww)
     # int8 inputs: the exact int32 accumulator goes STRAIGHT into the IN
     # statistics — InstanceNorm is invariant to per-channel affine maps,
@@ -195,13 +202,19 @@ def _conv_tail_kernel(t_ref, x_ref, w_ref, w1_ref, w2_ref, wsa_ref, o_ref,
                      + wm * max_p[di:di + hh, dj:dj + ww])
     gate_s = jax.nn.sigmoid(sacc)[:, :, None].astype(io)
 
-    x = x_ref[0]
     if x_pad:
         x = x[x_pad:x_pad + hh, x_pad:x_pad + ww]
     out = x + t * gate_s
     if pad:
         out = reflect_pad_hw(out, pad, h_axis=0)
-    o_ref[0] = out.astype(io)
+    return out.astype(io)
+
+
+def _conv_tail_kernel(t_ref, x_ref, w_ref, w1_ref, w2_ref, wsa_ref, o_ref,
+                      *, eps, pad, x_pad):
+    o_ref[0] = _tail_math(t_ref[0], x_ref[0], w_ref, w1_ref, w2_ref,
+                          wsa_ref, o_ref.dtype, eps=eps, pad=pad,
+                          x_pad=x_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "pad", "x_pad",
@@ -260,6 +273,103 @@ def conv_block_tail_pallas(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
     )(tp, x, wf, w1.astype(jnp.float32), w2.astype(jnp.float32), wsa_flat)
+
+
+def _residual_block_kernel(x_ref, wa_ref, wb_ref, w1_ref, w2_ref, wsa_ref,
+                           o_ref, *, eps, pad, quant):
+    xp = x_ref[0]
+    hp_, wp_, c = xp.shape
+    hh, ww = hp_ - 2, wp_ - 2
+    acc = _conv_taps(xp, wa_ref, hh, ww)
+    y = jnp.maximum(_in_stats(acc.astype(jnp.float32), hh * ww, eps), 0.0)
+    if quant:
+        # int8 MXU taps for conv2: quantize the VMEM-resident intermediate
+        # onto the shifted grid (never touches HBM; the tail's IN absorbs
+        # the affine exactly — same math as the two-kernel quant path).
+        from ducosy_tpu.ops.pallas.instance_norm import (
+            INT8_GRID, INT8_ZERO_POINT)
+        k = jnp.float32(INT8_GRID / _MONO_INT8_SCALE)
+        q = jnp.minimum(y * k + jnp.float32(0.5), jnp.float32(INT8_GRID))
+        y = (q.astype(jnp.int32) - INT8_ZERO_POINT).astype(jnp.int8)
+    else:
+        y = y.astype(xp.dtype)
+    tp = reflect_pad_hw(y.reshape(hh, ww, c), 1, h_axis=0)
+    o_ref[0] = _tail_math(tp, xp, wb_ref, w1_ref, w2_ref, wsa_ref,
+                          o_ref.dtype, eps=eps, pad=pad, x_pad=1)
+
+
+# static post-IN+ReLU activation scale for the mono kernel's in-register
+# int8 intermediate — same grid as models/fused._INT8_NORM_SCALE (the IN
+# downstream absorbs the scale, so only saturation behavior depends on it).
+_MONO_INT8_SCALE = 6.0
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "pad", "quant",
+                                             "interpret"))
+def residual_block_pallas(xp, wa, wb, w1, w2, wsa, *, eps=EPS, pad=1,
+                          quant=False, interpret=False):
+    """One ENTIRE residual block (modules/model.py:68-87) in a single
+    Pallas kernel: conv1+IN+ReLU+pad -> conv2+IN+CBAM+skip(+pad), with the
+    intermediate activation living only in VMEM — one HBM read (the padded
+    carry) and one write (the padded output) per block, vs two of each for
+    the two-kernel mega path.
+
+    xp: (N, H+2, W+2, C) reflect-padded carry; wa/wb: (3, 3, C, C) HWIO;
+    w1/w2/wsa: CBAM weights. ``quant``: conv2's taps run int8 x int8 on
+    the MXU from an in-register shifted-grid quantization of the
+    intermediate (the carry read and conv1 stay bf16)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp_, wp_, c = xp.shape
+    hh, ww = hp_ - 2, wp_ - 2
+    wfa = wa.reshape(9 * c, c).astype(xp.dtype)
+    if quant:
+        w32 = wb.reshape(9 * c, c).astype(jnp.float32)
+        ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=0), 1e-12) / 127.0
+        wfb = jnp.round(w32 / ws).astype(jnp.int8)
+    else:
+        wfb = wb.reshape(9 * c, c).astype(xp.dtype)
+    wsa_flat = wsa.reshape(_SA_K * _SA_K, 2).T.reshape(-1).astype(
+        jnp.float32)
+    vspace = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_residual_block_kernel, eps=eps, pad=pad,
+                          quant=quant),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, hh + 2 * pad, ww + 2 * pad, c), xp.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp_, wp_, c), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((9 * c, c), lambda i: (0, 0), memory_space=vspace),
+            pl.BlockSpec((9 * c, c), lambda i: (0, 0), memory_space=vspace),
+            pl.BlockSpec((c, w1.shape[1]), lambda i: (0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((w2.shape[0], c), lambda i: (0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((2 * _SA_K * _SA_K,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hh + 2 * pad, ww + 2 * pad, c),
+                               lambda i: (i, 0, 0, 0), memory_space=vspace),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(xp, wfa, wfb, w1.astype(jnp.float32), w2.astype(jnp.float32),
+      wsa_flat)
+
+
+def residual_block_fused(xp, wa, wb, w1, w2, wsa, *, eps=EPS, pad=1,
+                         quant=False):
+    """Pallas on TPU, XLA composition elsewhere (CPU tests)."""
+    if pallas_available():
+        return residual_block_pallas(xp, wa, wb, w1, w2, wsa, eps=eps,
+                                     pad=pad, quant=quant)
+    scale = _MONO_INT8_SCALE if quant else None
+    t = _xla_conv_in(xp, wa, relu=True, eps=eps, pad=1, int8_scale=scale)
+    return _xla_conv_tail(t, xp, wb, w1, w2, wsa, eps=eps, pad=pad,
+                          x_pad=1, in_int8_scale=scale)
 
 
 def conv3x3_in_fused(xp, w, *, relu=True, eps=EPS, pad=1, int8_scale=None):

@@ -14,6 +14,8 @@ from ducosy_tpu.ops.pallas.conv_in import (
     _xla_conv_tail,
     conv3x3_in_pallas,
     conv_block_tail_pallas,
+    residual_block_fused,
+    residual_block_pallas,
 )
 
 
@@ -171,3 +173,67 @@ def test_packed_forward_mega_int8_close_to_fp32(rng):
     err = np.abs(out - ref)
     assert err.max() < 0.05, err.max()
     assert err.mean() < 0.01, err.mean()
+
+
+def test_residual_block_mono_matches_two_kernel(rng):
+    """The mono kernel (whole block, one pallas_call) must reproduce the
+    two-kernel mega composition exactly up to fp rounding — same taps,
+    same IN statistics, same CBAM math, just no HBM round trip for the
+    intermediate."""
+    n, hw, c = 2, 24, 128
+    xp = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                     jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    r = c // 16
+    w1 = jnp.asarray(rng.standard_normal((c, r)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((r, c)) * 0.1, jnp.float32)
+    wsa = jnp.asarray(rng.standard_normal((7, 7, 2, 1)) * 0.1, jnp.float32)
+    for pad in (0, 1):
+        got = residual_block_pallas(xp, wa, wb, w1, w2, wsa, pad=pad,
+                                    interpret=True)
+        t = _xla_conv_in(xp, wa, relu=True, eps=1e-5, pad=1)
+        ref = _xla_conv_tail(t, xp, wb, w1, w2, wsa, eps=1e-5, pad=pad,
+                             x_pad=1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pad={pad}")
+
+
+def test_residual_block_mono_quant_close(rng):
+    """quant=True: conv2 runs int8 from the in-register shifted-grid
+    intermediate; must track the bf16 mono block within 8-bit rounding
+    noise (the INs absorb every scale)."""
+    n, hw, c = 2, 24, 128
+    xp = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                     jnp.float32)
+    wa = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    wb = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.05, jnp.float32)
+    r = c // 16
+    w1 = jnp.asarray(rng.standard_normal((c, r)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((r, c)) * 0.1, jnp.float32)
+    wsa = jnp.asarray(rng.standard_normal((7, 7, 2, 1)) * 0.1, jnp.float32)
+    ref = residual_block_pallas(xp, wa, wb, w1, w2, wsa, pad=1,
+                                interpret=True)
+    got = residual_block_pallas(xp, wa, wb, w1, w2, wsa, pad=1, quant=True,
+                                interpret=True)
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    assert err.mean() < 0.01, err.mean()
+    assert err.max() < 0.1, err.max()
+
+
+def test_packed_forward_mono_matches_module(rng):
+    """trunk='mono' end to end (CPU exercises the XLA fallback
+    composition): must agree with the canonical module forward."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+    from ducosy_tpu.models.generator import Generator
+
+    gen = Generator(input_channels=1, num_residual_blocks=2, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(4), x)["params"]
+    ref = gen.apply({"params": params}, x)
+    out = generator_apply_packed(params, x, num_residual_blocks=2,
+                                 dtype=jnp.float32, trunk="mono")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
