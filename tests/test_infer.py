@@ -423,3 +423,24 @@ def test_spatial_mesh_rejects_pallas_modes(rng):
         with pytest.raises(ValueError):
             DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
                                 mesh=mesh, **kw)
+
+
+def test_trunk_auto_resolution(monkeypatch):
+    """trunk='auto' picks the fused inference kernels per quant mode:
+    mono (whole-block kernel) for bf16 serving, mega for the quant modes
+    (the int8 tap path lives in the two-kernel pipeline) — and stays
+    un-resolved off the packed forward (engine.py trunk selection)."""
+    import ducosy_tpu.ops.pallas as pk
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    monkeypatch.setattr(pk, "pallas_available", lambda: True)
+    mk = lambda **kw: DualGeneratorEngine(  # noqa: E731
+        p1, p1, model_cfg=mcfg, img_size=32, forward="packed", **kw)
+    assert mk().trunk == "mono"
+    assert mk(quant="trunk").trunk == "mega"
+    assert mk(quant="full").trunk == "mega"
+    assert mk(trunk="xla").trunk == "xla"
+    module_eng = DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
+                                     forward="module")
+    assert module_eng.trunk == "auto"
