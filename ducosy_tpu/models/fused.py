@@ -40,18 +40,22 @@ from ducosy_tpu.models.layers import EPS_INSTANCE_NORM, prec_for, reflect_pad
 from ducosy_tpu.ops.pallas.cbam_block import block_tail_fused
 from ducosy_tpu.ops.pallas.conv_in import (conv3x3_in_fused,
                                            conv_block_tail,
-                                           residual_block_fused)
+                                           residual_block_fused,
+                                           residual_chain_fused)
 from ducosy_tpu.ops.pallas.instance_norm import (
     INT8_GRID,
+    INT8_NORM_SCALE,
     INT8_ZERO_POINT,
     instance_norm_fused,
     instance_norm_int8,
+    quantize_weights_int8,
 )
 
 # static post-IN+ReLU activation scale for the quantized trunk: post-norm
 # values are unit-variance, so a 6-sigma ceiling on the ReLU'd half-normal
-# clips ~nothing while using the full int8 grid
-_INT8_NORM_SCALE = 6.0
+# clips ~nothing while using the full int8 grid (value lives with the grid
+# constants in ops/pallas/instance_norm.py — the mega/mono kernels share it)
+_INT8_NORM_SCALE = INT8_NORM_SCALE
 
 # Phase-grouped Pallas IN window cap (bytes): packed norms whose full-channel
 # block is at most this large route through the phase-pooling kernel when
@@ -92,10 +96,7 @@ def _conv_int8(x, kernel, bias=None, *, padding="VALID"):
     Quantization happens in-graph from the regular params; under lax.map
     the weight-side ops are loop-invariant and cost ~10M elementwise ops
     against the ~10 GFLOP conv. Accumulation is exact int32."""
-    w32 = kernel.astype(jnp.float32)
-    ws = jnp.max(jnp.abs(w32), axis=(0, 1, 2), keepdims=True)
-    ws = jnp.maximum(ws, 1e-12) / 127.0                    # (1,1,1,Co)
-    wq = jnp.round(w32 / ws).astype(jnp.int8)
+    wq, ws = quantize_weights_int8(kernel, reduce_axes=(0, 1, 2))
 
     x32 = x.astype(jnp.float32)
     xs = jnp.max(jnp.abs(x32), axis=(1, 2, 3), keepdims=True)
@@ -135,9 +136,7 @@ def _conv_int8_static(x8, kernel, bias, act_scale: float, *, stride=1,
     conv(q+128, w) = conv(q, w) + 128 * sum(wq)_c — exact as long as every
     tap sees a shifted value, so callers must pad with -128 (the exact
     encoding of 0), never 0."""
-    w32 = kernel.astype(jnp.float32)
-    ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)), 1e-12) / 127.0
-    wq = jnp.round(w32 / ws).astype(jnp.int8)
+    wq, ws = quantize_weights_int8(kernel, reduce_axes=(0, 1, 2))
     acc = jax.lax.conv_general_dilated(
         x8, wq, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -496,9 +495,18 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     if trunk == "auto":
         from ducosy_tpu.ops.pallas.instance_norm import pallas_available
         trunk = "pallas" if pallas_available() else "xla"
-    if trunk not in ("xla", "pallas", "mega", "mono"):
+    # "chain{k}" (e.g. chain3, chain9): k consecutive blocks per Pallas
+    # kernel — the carry never leaves VMEM inside a chain (conv_in.py
+    # residual_chain_pallas). chain1 == mono.
+    chain_k = 0
+    if isinstance(trunk, str) and trunk.startswith("chain"):
+        chain_k = int(trunk[5:] or 1)
+        if not 1 <= chain_k <= num_residual_blocks:
+            raise ValueError(f"chain length out of range: {trunk!r}")
+        trunk = "chain"
+    if trunk not in ("xla", "pallas", "mega", "mono", "chain"):
         raise ValueError(
-            f"trunk must be auto/xla/pallas/mega/mono: {trunk!r}")
+            f"trunk must be auto/xla/pallas/mega/mono/chain{{k}}: {trunk!r}")
     # quant: None | "trunk" (the 18 trunk convs int8) | "full" (also the
     # stem/down/up2/head convs at static scales; up1 stays bf16 — its
     # input is the un-normalized residual carry). trunk_int8=True is the
@@ -529,7 +537,7 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
     h_out = (x.shape[1] + 6 - p["stem"]["kernel"].shape[0] + 1) // 2
     h = h[:, :h_out, :h_out] + jnp.tile(p["stem"]["bias"], 4).astype(dtype)
 
-    pallas_trunk = trunk in ("pallas", "mega", "mono") and use_cbam
+    pallas_trunk = trunk in ("pallas", "mega", "mono", "chain") and use_cbam
     # "mega": the two trunk convs fold INTO the Pallas kernels
     # (ops/pallas/conv_in.py) — one HBM read of the padded carry per
     # half-block, nothing between the convs ever leaves VMEM. Under the
@@ -613,7 +621,23 @@ def generator_apply_packed(params, x, *, num_residual_blocks: int = 9,
             hp = instance_norm_fused(h, True, eps, 1)  # 128^2 x 4base
         else:
             hp = reflect_pad(_instance_norm_xla(h, relu=True), 1)
-        for i in range(num_residual_blocks):
+        if trunk == "chain":
+            # groups of chain_k consecutive blocks, each group ONE Pallas
+            # kernel (the carry stays in VMEM inside a group); the final
+            # group drops the trailing pad.
+            for lo in range(0, num_residual_blocks, chain_k):
+                hi = min(lo + chain_k, num_residual_blocks)
+                bs = [p[f"block{i}"] for i in range(lo, hi)]
+                hp = residual_chain_fused(
+                    hp,
+                    jnp.stack([b["conv1"]["kernel"] for b in bs]),
+                    jnp.stack([b["conv2"]["kernel"] for b in bs]),
+                    jnp.stack([b["ca"]["fc1"]["kernel"] for b in bs]),
+                    jnp.stack([b["ca"]["fc2"]["kernel"] for b in bs]),
+                    jnp.stack([b["sa"]["conv"]["kernel"] for b in bs]),
+                    eps=eps, pad=0 if hi == num_residual_blocks else 1,
+                    quant=trunk_int8)
+        for i in range(num_residual_blocks if trunk != "chain" else 0):
             bp = p[f"block{i}"]
             if mono_trunk:
                 # the ENTIRE block in one kernel: the intermediate

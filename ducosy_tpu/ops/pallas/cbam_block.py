@@ -38,6 +38,11 @@ SA_KERNEL = 7  # reference SpatialAttention kernel_size (modules/model.py:29)
 
 def _kernel(h_ref, x_ref, w1_ref, w2_ref, wsa_ref, o_ref, *,
             eps: float, pad: int, x_pad: int):
+    # conv_in._tail_math is this same IN+CBAM+skip body with the conv
+    # folded in — kept separate on purpose: here t arrives as a bf16 HBM
+    # tensor so the normalize runs in io dtype, there it IS the fp32 conv
+    # accumulator and the whole tail stays fp32. A fix to the gate/pool
+    # math must land in BOTH (parity tests cover each against the module).
     h = h_ref[0]                                   # (H, W, C), io dtype
     hh, ww, c = h.shape
     count = hh * ww
@@ -182,7 +187,7 @@ def _bwd_stats_kernel(h_ref, g_ref, w1_ref, w2_ref, stats_ref, vec_ref, *,
 
 def _bwd_apply_kernel(h_ref, g_ref, w1_ref, w2_ref, maps_ref, vec_ref,
                       dh_ref, dw1_ref, dw2_ref, *,
-                      eps: float, pad: int, x_pad: int):
+                      eps: float, pad: int):
     """Backward pass 2: consume the XLA-computed spatial-gate pieces
     (gs, dm_avg, dm_max as (3, H, W) f32 maps + sa_max re-imported in
     maps_ref[3]) and finish the analytic VJP: dt, channel-gate adjoint
@@ -319,7 +324,7 @@ def block_tail_bwd_pallas(h, g, w1, w2, wsa, *, eps: float = EPS,
                       sa_max], axis=1)                   # (N, 4, H, W)
 
     dh, dw1, dw2 = pl.pallas_call(
-        functools.partial(_bwd_apply_kernel, eps=eps, pad=pad, x_pad=x_pad),
+        functools.partial(_bwd_apply_kernel, eps=eps, pad=pad),
         out_shape=(
             jax.ShapeDtypeStruct((n, hh, ww, c), h.dtype),
             jax.ShapeDtypeStruct((n, c, r), jnp.float32),
@@ -424,7 +429,6 @@ _PALLAS_BWD = False
 def _bwd(eps, pad, x_pad, res, g):
     h, x, w1, w2, wsa = res
     if _PALLAS_BWD and pallas_available():
-        from ducosy_tpu.ops.pallas.cbam_block import block_tail_bwd_pallas
         return block_tail_bwd_pallas(h, g, w1, w2, wsa, eps=eps, pad=pad,
                                      x_pad=x_pad)
     # unpadded-tail VJP + explicit pad adjoint keeps the recompute graph

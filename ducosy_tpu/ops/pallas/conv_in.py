@@ -44,13 +44,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ducosy_tpu.ops.pallas.cbam_block import SA_KERNEL as _SA_K
 from ducosy_tpu.ops.pallas.instance_norm import (
     EPS,
+    INT8_GRID,
+    INT8_NORM_SCALE,
+    INT8_ZERO_POINT,
     pallas_available,
+    quantize_weights_int8,
     reflect_pad_hw,
 )
-
-_SA_K = 7  # CBAM spatial-attention kernel size (modules/model.py:27)
 
 
 def _conv_taps(xp, w_ref, hh, ww):
@@ -85,7 +88,11 @@ def _conv_in_kernel(x_ref, w_ref, o_ref, *, relu, eps, pad, int8_scale):
     hp_, wp_, _ = xp.shape
     hh, ww = hp_ - 2, wp_ - 2
     acc = _conv_taps(xp, w_ref, hh, ww)
-    y = _in_stats(acc, hh * ww, eps)
+    # stats in fp32 always: an int32 accumulator would overflow _in_stats'
+    # int32 sum at trunk shapes (9*256*127*128 per pixel * 128^2 positions
+    # >> 2^31); IN is invariant to the int8 grid's affine map so fp32
+    # stats of the int accumulator are exact (same as _tail_math).
+    y = _in_stats(acc.astype(jnp.float32), hh * ww, eps)
     if relu:
         y = jnp.maximum(y, 0.0)
     y = y.reshape(hh, ww, -1)
@@ -97,8 +104,6 @@ def _conv_in_kernel(x_ref, w_ref, o_ref, *, relu, eps, pad, int8_scale):
         # BEFORE the -128 shift (instance_norm.py grid semantics).
         # Quantize BEFORE the pad: the reflect pad then copies int8 rows
         # (exact, and a quarter of the fp32 traffic).
-        from ducosy_tpu.ops.pallas.instance_norm import (
-            INT8_GRID, INT8_ZERO_POINT)
         k = jnp.float32(INT8_GRID / int8_scale)
         q = jnp.minimum(y * k + jnp.float32(0.5), jnp.float32(INT8_GRID))
         y = (q.astype(jnp.int32) - INT8_ZERO_POINT).astype(jnp.int8)
@@ -127,6 +132,10 @@ def conv3x3_in_pallas(xp, w, *, relu=True, eps=EPS, pad=1, int8_scale=None,
     n, hp_, wp_, cin = xp.shape
     hh, ww = hp_ - 2, wp_ - 2
     cout = w.shape[-1]
+    if xp.dtype == jnp.int8:
+        # int8 activations need pre-quantized int8 weights — astype would
+        # VALUE-TRUNCATE float weights, not quantize them
+        assert w.dtype == jnp.int8, "int8 input requires int8 weights"
     wf = w.reshape(9 * cin, cout).astype(xp.dtype)
     vspace = pl.ANY if interpret else pltpu.VMEM
     out_dtype = jnp.int8 if int8_scale is not None else xp.dtype
@@ -151,7 +160,7 @@ def conv3x3_in_pallas(xp, w, *, relu=True, eps=EPS, pad=1, int8_scale=None,
 
 
 def _tail_math(tp, x, w_ref, w1_ref, w2_ref, wsa_ref, io, *, eps, pad,
-               x_pad):
+               x_pad, wsa_off=0):
     """x(interior) + CBAM(IN(conv_VALID(tp)))(+pad) on VMEM values — the
     shared body of the tail kernel and the mono-block kernel. tp is the
     padded conv input; x the residual carry (reflect-padded by x_pad)."""
@@ -196,8 +205,8 @@ def _tail_math(tp, x, w_ref, w1_ref, w2_ref, wsa_ref, io, *, eps, pad,
     sacc = jnp.zeros((hh, ww), jnp.float32)
     for di in range(_SA_K):
         for dj in range(_SA_K):
-            wa = wsa_ref[di * _SA_K + dj]
-            wm = wsa_ref[_SA_K * _SA_K + di * _SA_K + dj]
+            wa = wsa_ref[wsa_off + di * _SA_K + dj]
+            wm = wsa_ref[wsa_off + _SA_K * _SA_K + di * _SA_K + dj]
             sacc += (wa * avg_p[di:di + hh, dj:dj + ww]
                      + wm * max_p[di:di + hh, dj:dj + ww])
     gate_s = jax.nn.sigmoid(sacc)[:, :, None].astype(io)
@@ -240,9 +249,7 @@ def conv_block_tail_pallas(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1,
     c = w.shape[-1]
     if in_int8:
         assert tp.dtype == jnp.int8, tp.dtype
-        w32 = w.reshape(9 * cin, c).astype(jnp.float32)
-        ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=0), 1e-12) / 127.0
-        wf = jnp.round(w32 / ws).astype(jnp.int8)
+        wf, _ = quantize_weights_int8(w.reshape(9 * cin, c))
     else:
         wf = w.reshape(9 * cin, c).astype(tp.dtype)
     wsa_flat = wsa.reshape(_SA_K * _SA_K, 2).T.reshape(-1).astype(
@@ -286,9 +293,7 @@ def _residual_block_kernel(x_ref, wa_ref, wb_ref, w1_ref, w2_ref, wsa_ref,
         # int8 MXU taps for conv2: quantize the VMEM-resident intermediate
         # onto the shifted grid (never touches HBM; the tail's IN absorbs
         # the affine exactly — same math as the two-kernel quant path).
-        from ducosy_tpu.ops.pallas.instance_norm import (
-            INT8_GRID, INT8_ZERO_POINT)
-        k = jnp.float32(INT8_GRID / _MONO_INT8_SCALE)
+        k = jnp.float32(INT8_GRID / INT8_NORM_SCALE)
         q = jnp.minimum(y * k + jnp.float32(0.5), jnp.float32(INT8_GRID))
         y = (q.astype(jnp.int32) - INT8_ZERO_POINT).astype(jnp.int8)
     else:
@@ -296,12 +301,6 @@ def _residual_block_kernel(x_ref, wa_ref, wb_ref, w1_ref, w2_ref, wsa_ref,
     tp = reflect_pad_hw(y.reshape(hh, ww, c), 1, h_axis=0)
     o_ref[0] = _tail_math(tp, xp, wb_ref, w1_ref, w2_ref, wsa_ref,
                           o_ref.dtype, eps=eps, pad=pad, x_pad=1)
-
-
-# static post-IN+ReLU activation scale for the mono kernel's in-register
-# int8 intermediate — same grid as models/fused._INT8_NORM_SCALE (the IN
-# downstream absorbs the scale, so only saturation behavior depends on it).
-_MONO_INT8_SCALE = 6.0
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "pad", "quant",
@@ -325,9 +324,7 @@ def residual_block_pallas(xp, wa, wb, w1, w2, wsa, *, eps=EPS, pad=1,
     hh, ww = hp_ - 2, wp_ - 2
     wfa = wa.reshape(9 * c, c).astype(xp.dtype)
     if quant:
-        w32 = wb.reshape(9 * c, c).astype(jnp.float32)
-        ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=0), 1e-12) / 127.0
-        wfb = jnp.round(w32 / ws).astype(jnp.int8)
+        wfb, _ = quantize_weights_int8(wb.reshape(9 * c, c))
     else:
         wfb = wb.reshape(9 * c, c).astype(xp.dtype)
     wsa_flat = wsa.reshape(_SA_K * _SA_K, 2).T.reshape(-1).astype(
@@ -366,10 +363,113 @@ def residual_block_fused(xp, wa, wb, w1, w2, wsa, *, eps=EPS, pad=1,
     if pallas_available():
         return residual_block_pallas(xp, wa, wb, w1, w2, wsa, eps=eps,
                                      pad=pad, quant=quant)
-    scale = _MONO_INT8_SCALE if quant else None
+    scale = INT8_NORM_SCALE if quant else None
     t = _xla_conv_in(xp, wa, relu=True, eps=eps, pad=1, int8_scale=scale)
     return _xla_conv_tail(t, xp, wb, w1, w2, wsa, eps=eps, pad=pad,
                           x_pad=1, in_int8_scale=scale)
+
+
+def _residual_chain_kernel(x_ref, wa_ref, wb_ref, w1_ref, w2_ref, wsa_ref,
+                           o_ref, *, eps, pad, quant, nblocks):
+    hp = x_ref[0]
+    c = hp.shape[-1]
+    io = o_ref.dtype
+    for j in range(nblocks):
+        hh, ww = hp.shape[0] - 2, hp.shape[1] - 2
+        acc = _conv_taps(hp, wa_ref[j], hh, ww)
+        y = jnp.maximum(_in_stats(acc.astype(jnp.float32), hh * ww, eps),
+                        0.0)
+        if quant:
+            k = jnp.float32(INT8_GRID / INT8_NORM_SCALE)
+            q = jnp.minimum(y * k + jnp.float32(0.5),
+                            jnp.float32(INT8_GRID))
+            y = (q.astype(jnp.int32) - INT8_ZERO_POINT).astype(jnp.int8)
+        else:
+            y = y.astype(io)
+        tp = reflect_pad_hw(y.reshape(hh, ww, c), 1, h_axis=0)
+        hp = _tail_math(tp, hp, wb_ref[j], w1_ref[j], w2_ref[j], wsa_ref,
+                        io, eps=eps,
+                        pad=pad if j == nblocks - 1 else 1, x_pad=1,
+                        wsa_off=j * 2 * _SA_K * _SA_K)
+    o_ref[0] = hp
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "pad", "quant",
+                                             "interpret"))
+def residual_chain_pallas(xp, was, wbs, w1s, w2s, wsas, *, eps=EPS, pad=1,
+                          quant=False, interpret=False):
+    """``k`` consecutive residual blocks in ONE Pallas kernel — the carry
+    itself never leaves VMEM between blocks, so a chain of k blocks costs
+    one HBM read and one write TOTAL (vs k of each for the mono kernel;
+    the full 9-block trunk at k=9 reads 8.6 MB and writes 8.6 MB instead
+    of ~155 MB of round trips at the (130,130,256) bf16 trunk shape).
+
+    was/wbs: (k, 3, 3, C, C) stacked HWIO conv kernels; w1s: (k, C, R);
+    w2s: (k, R, C); wsas: (k, 7, 7, 2, 1). ``pad`` applies to the LAST
+    block's output write (inner blocks always re-pad by 1 for the next
+    conv). ``quant`` as in residual_block_pallas (conv2 taps int8).
+
+    VMEM scales with the weight stack (k * 2 * 0.6 MB bf16 at 256 ch) plus
+    the per-block live set; compile time scales with k (fully unrolled).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, hp_, wp_, c = xp.shape
+    hh, ww = hp_ - 2, wp_ - 2
+    k, _, _, _, _ = was.shape
+    wfa = was.reshape(k, 9 * c, c).astype(xp.dtype)
+    if quant:
+        wfb = jnp.stack([quantize_weights_int8(wbs[j].reshape(9 * c, c))[0]
+                         for j in range(k)])
+    else:
+        wfb = wbs.reshape(k, 9 * c, c).astype(xp.dtype)
+    # per-block flat (avg taps | max taps) rows, concatenated for SMEM
+    wsa_flat = wsas.reshape(k, _SA_K * _SA_K, 2).transpose(0, 2, 1) \
+        .reshape(-1).astype(jnp.float32)
+    r = w1s.shape[2]
+    vspace = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_residual_chain_kernel, eps=eps, pad=pad,
+                          quant=quant, nblocks=k),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, hh + 2 * pad, ww + 2 * pad, c), xp.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, hp_, wp_, c), lambda i: (i, 0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((k, 9 * c, c), lambda i: (0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((k, 9 * c, c), lambda i: (0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((k, c, r), lambda i: (0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((k, r, c), lambda i: (0, 0, 0),
+                         memory_space=vspace),
+            pl.BlockSpec((k * 2 * _SA_K * _SA_K,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hh + 2 * pad, ww + 2 * pad, c),
+                               lambda i: (i, 0, 0, 0), memory_space=vspace),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(xp, wfa, wfb, w1s.astype(jnp.float32), w2s.astype(jnp.float32),
+      wsa_flat)
+
+
+def residual_chain_fused(xp, was, wbs, w1s, w2s, wsas, *, eps=EPS, pad=1,
+                         quant=False):
+    """Pallas on TPU, per-block XLA composition elsewhere (CPU tests)."""
+    if pallas_available():
+        return residual_chain_pallas(xp, was, wbs, w1s, w2s, wsas, eps=eps,
+                                     pad=pad, quant=quant)
+    k = was.shape[0]
+    for j in range(k):
+        xp = residual_block_fused(xp, was[j], wbs[j], w1s[j], w2s[j],
+                                  wsas[j], eps=eps,
+                                  pad=pad if j == k - 1 else 1, quant=quant)
+    return xp
 
 
 def conv3x3_in_fused(xp, w, *, relu=True, eps=EPS, pad=1, int8_scale=None):
@@ -400,6 +500,10 @@ def conv_block_tail(tp, x, w, w1, w2, wsa, *, eps=EPS, pad=1, x_pad=1,
 def _xla_conv_in(xp, w, *, relu, eps, pad, int8_scale=None):
     from ducosy_tpu.ops.pallas.instance_norm import (
         instance_norm_fused, instance_norm_int8)
+    if int8_scale is not None:
+        # fail exactly like the Pallas path (instance_norm_int8 hard-codes
+        # relu=True, which would otherwise silently override relu=False)
+        assert relu, "int8_scale requires relu=True (non-negative outputs)"
     y = jax.lax.conv_general_dilated(
         xp, w.astype(xp.dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -416,12 +520,7 @@ def _xla_conv_tail(tp, x, w, w1, w2, wsa, *, eps, pad, x_pad,
         # epilogue (fused.py _conv_int8_static semantics); the following
         # IN absorbs the affine anyway, but dequantizing keeps the bf16
         # intermediate well-scaled for block_tail_fused.
-        from ducosy_tpu.ops.pallas.instance_norm import (
-            INT8_GRID, INT8_ZERO_POINT)
-        w32 = w.astype(jnp.float32)
-        ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=(0, 1, 2)),
-                         1e-12) / 127.0
-        wq = jnp.round(w32 / ws).astype(jnp.int8)
+        wq, ws = quantize_weights_int8(w, reduce_axes=(0, 1, 2))
         acc = jax.lax.conv_general_dilated(
             tp, wq, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),

@@ -31,6 +31,22 @@ EPS = 1e-5
 # all four must agree or the activation path is silently mis-scaled).
 INT8_GRID = 255.0
 INT8_ZERO_POINT = 128
+# Static post-IN+ReLU activation scale for quantized serving. Every
+# downstream InstanceNorm absorbs the scale exactly, so only saturation
+# behavior depends on it; shared by the mega/mono trunk kernels and the
+# packed forward's quant modes (one source of truth — a re-tune must move
+# every producer at once or trunk modes silently clip differently).
+INT8_NORM_SCALE = 6.0
+
+
+def quantize_weights_int8(w, *, reduce_axes=0):
+    """Symmetric per-output-channel int8 weight quantization: returns
+    (wq int8, per-channel fp32 scale) with scale = max|w| / 127 reduced
+    over ``reduce_axes`` (everything but the output-channel axis, which
+    must be last)."""
+    w32 = w.astype(jnp.float32)
+    ws = jnp.maximum(jnp.max(jnp.abs(w32), axis=reduce_axes), 1e-12) / 127.0
+    return jnp.round(w32 / ws).astype(jnp.int8), ws
 
 
 def reflect_pad_hw(a, p: int, h_axis: int = 0):
@@ -106,7 +122,13 @@ def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int,
     x = x_ref[...]                               # (1, H, W, Cb), io dtype
     count = x.shape[0] * x.shape[1] * x.shape[2] * phases
     # fp32 ACCUMULATION without materializing an fp32 copy of the block
-    # (a full f32 cast of a 4 MB bf16 block doubles VMEM pressure and OOMs)
+    # (a full f32 cast of a 4 MB bf16 block doubles VMEM pressure and OOMs).
+    # One-pass E[x^2]-E[x]^2 variance: cancellation only bites when
+    # |mean|/std > ~2^10 in fp32 — impossible here, since x itself is a
+    # bf16 HBM tensor (8-bit mantissa) whose per-element quantization
+    # noise >= 2^-9|mean| already dominates any channel that concentrated;
+    # the var>=0 clamp bounds the residual error. The XLA fallback uses
+    # the centered form because it costs nothing there.
     s = jnp.sum(x, axis=(0, 1, 2), keepdims=True, dtype=jnp.float32)
     sq = jnp.sum(jnp.square(x), axis=(0, 1, 2), keepdims=True,
                  dtype=jnp.float32)
@@ -150,9 +172,14 @@ def _kernel(x_ref, o_ref, *, relu: bool, eps: float, pad: int,
         # 128*sum(wq)_c constant in their conv epilogue). The trunc must
         # happen on the non-negative value BEFORE the shift (trunc of a
         # negative rounds the wrong way), hence the int32 intermediate.
-        k = jnp.asarray(INT8_GRID / int8_scale, x.dtype)
-        q = jnp.minimum(y * k + jnp.asarray(0.5, x.dtype),
-                        jnp.full((), INT8_GRID, x.dtype))
+        # The quantize math runs in fp32 even when x is bf16: at codes
+        # >= 128 the bf16 ulp is 1.0, so "+0.5 then trunc" becomes a
+        # round-to-nearest-even tie there and diverges by one code from
+        # the fp32-computing producers (conv_in.py, fused.
+        # packed_in_relu_int8) that this grid must agree with.
+        k = jnp.float32(INT8_GRID / int8_scale)
+        q = jnp.minimum(y.astype(jnp.float32) * k + jnp.float32(0.5),
+                        jnp.float32(INT8_GRID))
         y = q.astype(jnp.int32) - INT8_ZERO_POINT
     o_ref[...] = y.astype(o_ref.dtype)
 
@@ -225,9 +252,6 @@ def instance_norm_pallas(x: jax.Array, *, relu: bool = False,
 # adjoint folded into the gradient read when the forward folded a pad into
 # its output write — one kernel, one traversal of x and g each, vs XLA's
 # separate fold + stats recompute + normalize chain.
-import jax.numpy as _jnp
-
-
 def _bwd_kernel(x_ref, g_ref, o_ref, *, relu: bool, eps: float, pad: int):
     x = x_ref[0]                                   # (H, W, Cb), io dtype
     g = g_ref[0].astype(jnp.float32)               # (H+2p, W+2p, Cb)
@@ -294,27 +318,27 @@ def _phase_stats(x32, phases, eps):
     """fp32 (mean, inv_std) pooled over (H, W[, phase groups]) — broadcast
     back to the packed channel axis when phases > 1."""
     if phases == 1:
-        mean = _jnp.mean(x32, axis=(1, 2), keepdims=True)
-        var = _jnp.mean(_jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+        mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
         return mean, jax.lax.rsqrt(var + eps)
     n, h, w, cf = x32.shape
     g = x32.reshape(n, h, w, phases, cf // phases)
-    mean = _jnp.mean(g, axis=(1, 2, 3), keepdims=True)
-    var = _jnp.mean(_jnp.square(g - mean), axis=(1, 2, 3), keepdims=True)
-    tile = lambda t: _jnp.broadcast_to(
+    mean = jnp.mean(g, axis=(1, 2, 3), keepdims=True)
+    var = jnp.mean(jnp.square(g - mean), axis=(1, 2, 3), keepdims=True)
+    tile = lambda t: jnp.broadcast_to(
         t, (n, 1, 1, phases, cf // phases)).reshape(n, 1, 1, cf)
     return tile(mean), tile(jax.lax.rsqrt(var + eps))
 
 
 def _xla_forward(x, relu, eps, pad=0, phases=1):
-    x32 = x.astype(_jnp.float32)
+    x32 = x.astype(jnp.float32)
     mean, inv = _phase_stats(x32, phases, eps)
     y = (x32 - mean) * inv
     if relu:
-        y = _jnp.maximum(y, 0.0)
+        y = jnp.maximum(y, 0.0)
     y = y.astype(x.dtype)
     if pad:
-        y = _jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+        y = jnp.pad(y, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
                      mode="reflect")
     return y, None
 
@@ -331,8 +355,8 @@ def reflect_pad_adjoint(g, pad: int):
         sl = lambda a, b: tuple(
             slice(a, b) if d == axis else slice(None) for d in range(gr.ndim))
         core = gr[sl(p, n - p)]
-        top = _jnp.flip(gr[sl(0, p)], axis=axis)
-        bot = _jnp.flip(gr[sl(n - p, n)], axis=axis)
+        top = jnp.flip(gr[sl(0, p)], axis=axis)
+        bot = jnp.flip(gr[sl(n - p, n)], axis=axis)
         h = core.shape[axis]
         core = core.at[sl(1, p + 1)].add(top)
         core = core.at[sl(h - 1 - p, h - 1)].add(bot)
@@ -355,10 +379,12 @@ def instance_norm_int8(x, *, eps: float = EPS, pad: int = 0,
         return instance_norm_pallas(x, relu=True, eps=eps, pad=pad,
                                     phases=phases, int8_scale=scale)
     y, _ = _xla_forward(x, True, eps, pad, phases)
-    k = _jnp.asarray(INT8_GRID / scale, y.dtype)
-    yq = _jnp.minimum(y * k + _jnp.asarray(0.5, y.dtype),
-                      _jnp.full((), INT8_GRID, y.dtype))
-    return (yq.astype(_jnp.int32) - INT8_ZERO_POINT).astype(_jnp.int8)
+    # fp32 quantize math for bit-parity with the Pallas kernel (see the
+    # bf16-tie note in _kernel)
+    k = jnp.float32(INT8_GRID / scale)
+    yq = jnp.minimum(y.astype(jnp.float32) * k + jnp.float32(0.5),
+                     jnp.float32(INT8_GRID))
+    return (yq.astype(jnp.int32) - INT8_ZERO_POINT).astype(jnp.int8)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
@@ -385,11 +411,11 @@ _PALLAS_BWD = True  # A/B switch: False forces the XLA analytic backward
 def _group_mean(t, phases):
     """fp32 mean over (H, W[, phase groups]), broadcast back to NHWC."""
     if phases == 1:
-        return _jnp.mean(t, axis=(1, 2), keepdims=True)
+        return jnp.mean(t, axis=(1, 2), keepdims=True)
     n, h, w, cf = t.shape
-    m = _jnp.mean(t.reshape(n, h, w, phases, cf // phases),
+    m = jnp.mean(t.reshape(n, h, w, phases, cf // phases),
                   axis=(1, 2, 3), keepdims=True)
-    return _jnp.broadcast_to(
+    return jnp.broadcast_to(
         m, (n, 1, 1, phases, cf // phases)).reshape(n, 1, 1, cf)
 
 
@@ -411,8 +437,8 @@ def _bwd(relu, eps, pad, phases, x, g):
     if (_PALLAS_BWD and phases == 1 and foldable
             and window <= 8 * 1024 * 1024 and pallas_available()):
         return (instance_norm_bwd_pallas(x, g, relu=relu, eps=eps, pad=pad),)
-    g = reflect_pad_adjoint(g.astype(_jnp.float32), pad)
-    x32 = x.astype(_jnp.float32)
+    g = reflect_pad_adjoint(g.astype(jnp.float32), pad)
+    x32 = x.astype(jnp.float32)
     mean, inv = _phase_stats(x32, phases, eps)
     y_pre = (x32 - mean) * inv            # pre-ReLU normalized value
     g32 = g

@@ -55,10 +55,11 @@ def rate(trunk, quant=None, reps=8, n_slices=64, chunk=32):
 
 
 if __name__ == "__main__":
-    arms = [("mega", None), ("mono", None)]
+    arms = [("mega", None), ("mono", None), ("chain3", None),
+            ("chain9", None)]
     if len(sys.argv) > 1 and sys.argv[1] == "quant":
-        arms = [("mega", "trunk"), ("mono", "trunk"),
-                ("mega", "full"), ("mono", "full")]
+        arms = [("mega", "trunk"), ("mono", "trunk"), ("chain3", "trunk"),
+                ("mega", "full"), ("chain3", "full")]
     base = None
     for trunk, quant in arms:
         try:

@@ -237,3 +237,51 @@ def test_packed_forward_mono_matches_module(rng):
                                  dtype=jnp.float32, trunk="mono")
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_residual_chain_matches_mono_sequence(rng):
+    """chain kernel (k blocks, one pallas_call, carry VMEM-resident) must
+    reproduce k sequential mono blocks exactly up to fp rounding."""
+    from ducosy_tpu.ops.pallas.conv_in import residual_chain_pallas
+
+    n, hw, c, k = 2, 20, 128, 3
+    xp = jnp.asarray(rng.standard_normal((n, hw + 2, hw + 2, c)),
+                     jnp.float32)
+    was = jnp.asarray(rng.standard_normal((k, 3, 3, c, c)) * 0.05,
+                      jnp.float32)
+    wbs = jnp.asarray(rng.standard_normal((k, 3, 3, c, c)) * 0.05,
+                      jnp.float32)
+    r = c // 16
+    w1s = jnp.asarray(rng.standard_normal((k, c, r)) * 0.1, jnp.float32)
+    w2s = jnp.asarray(rng.standard_normal((k, r, c)) * 0.1, jnp.float32)
+    wsas = jnp.asarray(rng.standard_normal((k, 7, 7, 2, 1)) * 0.1,
+                       jnp.float32)
+    for pad, quant in ((0, False), (1, False), (1, True)):
+        got = residual_chain_pallas(xp, was, wbs, w1s, w2s, wsas, pad=pad,
+                                    quant=quant, interpret=True)
+        ref = xp
+        for j in range(k):
+            ref = residual_block_pallas(
+                ref, was[j], wbs[j], w1s[j], w2s[j], wsas[j],
+                pad=pad if j == k - 1 else 1, quant=quant, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"pad={pad} quant={quant}")
+
+
+def test_packed_forward_chain_matches_module(rng):
+    """trunk='chain2' end to end over a 3-block net (one full group + a
+    remainder group; CPU exercises the per-block XLA fallback): must agree
+    with the canonical module forward."""
+    from ducosy_tpu.models.fused import generator_apply_packed
+    from ducosy_tpu.models.generator import Generator
+
+    gen = Generator(input_channels=1, num_residual_blocks=3, use_cbam=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.uniform(-1, 1, (2, 64, 64, 1)), jnp.float32)
+    params = gen.init(jax.random.PRNGKey(5), x)["params"]
+    ref = gen.apply({"params": params}, x)
+    out = generator_apply_packed(params, x, num_residual_blocks=3,
+                                 dtype=jnp.float32, trunk="chain2")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
