@@ -398,8 +398,9 @@ def _residual_chain_kernel(x_ref, wa_ref, wb_ref, w1_ref, w2_ref, wsa_ref,
                                              "interpret"))
 def residual_chain_pallas(xp, was, wbs, w1s, w2s, wsas, *, eps=EPS, pad=1,
                           quant=False, interpret=False):
-    """``k`` consecutive residual blocks in ONE Pallas kernel — the carry
-    itself never leaves VMEM between blocks, so a chain of k blocks costs
+    """``k`` consecutive residual blocks (modules/model.py:68-87 each) in
+    ONE Pallas kernel — the carry never leaves VMEM between blocks, so a
+    chain of k blocks costs
     one HBM read and one write TOTAL (vs k of each for the mono kernel;
     the full 9-block trunk at k=9 reads 8.6 MB and writes 8.6 MB instead
     of ~155 MB of round trips at the (130,130,256) bf16 trunk shape).
