@@ -66,6 +66,13 @@ def parse_args(argv=None):
                         "the stem/down/up2/head convs at static scales on "
                         "a shifted int8 grid (larger deviation — see "
                         "docs/PERF.md; validate on your checkpoints)")
+    p.add_argument("--soft_squeeze", action="store_true",
+                   help="normalize model inputs with the training-time "
+                        "soft squeeze instead of the reference's linear "
+                        "serving window — for checkpoints trained by THIS "
+                        "framework with use_soft_squeezing (the released "
+                        ".pth checkpoints should keep the default linear "
+                        "path for exact reference parity)")
     return p.parse_args(argv)
 
 
@@ -92,7 +99,8 @@ def load_engine(args):
                                load(args.lung_model),
                                img_size=args.img_size, compute_dtype=dtype,
                                mesh=mesh, trunk_int8=args.trunk_int8,
-                               quant=args.quant)
+                               quant=args.quant,
+                               soft_squeeze=args.soft_squeeze)
 
 
 def _read_series(folder):
@@ -136,7 +144,7 @@ def process_patient(engine, args, patient_dir, working_dir, output_dir):
     os.makedirs(out_patient, exist_ok=True)
 
     if args.write_working:
-        out = engine.generate_batch(volume.astype(np.float32), slope,
+        out = engine.generate_batch(volume, slope,
                                     intercept)
         wdir = os.path.join(working_dir, patient_id)
         for sub in ("raw", "soft_tissue", "lung"):
@@ -174,8 +182,10 @@ def process_patient(engine, args, patient_dir, working_dir, output_dir):
             desc = "DuCoSyGAN sCECT v2"
     else:
         # fast path: everything on device in one pass
-        final = engine.run_patient(volume.astype(np.float32), slope,
-                                   intercept, chunk=args.slice_batch)
+        # no float32 cast: the engine uploads the narrow integer dtype
+        # (2 bytes/px) and widens on device (engine.run_patient docstring)
+        final = engine.run_patient(volume, slope, intercept,
+                                   chunk=args.slice_batch)
         desc = "DuCoSyGAN sCECT v2"
 
     _write_final(datasets, final, dtype, out_patient, desc)
@@ -210,23 +220,31 @@ def run_fast_pipeline(engine, args, patients, output_dir) -> int:
     checkpoints must stay within ~15% of unconditioned throughput)."""
     from concurrent.futures import ThreadPoolExecutor
 
+    def _load_and_prefetch(p):
+        # decode + mask prefetch both happen in the io thread, 1-2
+        # patients ahead of the device — by the time run_patient_async
+        # blocks on the mask future it is (usually) already resolved
+        data = _load_patient(args, p)
+        if data is None:
+            return None
+        _, _, volume, slope, intercept = data
+        return (*data, engine.prefetch_masks(volume, slope, intercept))
+
     done = 0
     with ThreadPoolExecutor(2, thread_name_prefix="io") as io_pool:
-        loads = {p: io_pool.submit(_load_patient, args, p)
+        loads = {p: io_pool.submit(_load_and_prefetch, p)
                  for p in patients[:2]}
         inflight = []  # (patient_dir, datasets, dtype, out_patient, device_out)
         for i, pdir in enumerate(patients):
             if i + 2 < len(patients):
                 nxt = patients[i + 2]
-                loads[nxt] = io_pool.submit(_load_patient, args, nxt)
+                loads[nxt] = io_pool.submit(_load_and_prefetch, nxt)
             data = loads.pop(pdir).result()
             if data is None:
                 continue
-            files, datasets, volume, slope, intercept = data
-            mask_fut = engine.prefetch_masks(volume.astype(np.float32),
-                                             slope, intercept)
+            files, datasets, volume, slope, intercept, mask_fut = data
             out = engine.run_patient_async(
-                volume.astype(np.float32), slope, intercept,
+                volume, slope, intercept,
                 chunk=args.slice_batch, masks=mask_fut)
             out_patient = os.path.join(output_dir, os.path.basename(pdir))
             os.makedirs(out_patient, exist_ok=True)

@@ -48,7 +48,8 @@ class DualGeneratorEngine:
                  img_size: int = 512, compute_dtype=jnp.bfloat16,
                  fused_norm: bool = False, mesh=None,
                  forward: str = "auto", trunk_int8: bool = False,
-                 quant: str | None = None, trunk: str = "auto"):
+                 quant: str | None = None, trunk: str = "auto",
+                 soft_squeeze: bool = False):
         # fused_norm routes InstanceNorm through the Pallas kernel. Round-1
         # measurements had it +17% on this pipeline; the libtpu/XLA upgrade
         # since then improved XLA's own IN fusion and flipped the A/B
@@ -76,6 +77,16 @@ class DualGeneratorEngine:
         self.st_range = st_range
         self.lung_range = lung_range
         self.img_size = img_size
+        # soft_squeeze: normalize INPUTS with the training dataset's
+        # nonlinear squeeze (hu.soft_squeeze, per-range use_soft_squeezing)
+        # instead of the linear window. Default False = exact parity with
+        # the reference's serving path (generate.py preprocess_dicom is
+        # linear even for squeeze-trained checkpoints). Output decode is
+        # linear EITHER WAY — also reference semantics (postprocess_tensor
+        # is linear), and the only sane choice: at the default sigma=50
+        # the squeeze maps the whole top window decile into a ~5e-4-wide
+        # band, so an output-side inverse would amplify model noise ~200x.
+        self.soft_squeeze = soft_squeeze
 
         # Channel counts come from the checkpoints themselves (stem kernel is
         # (7, 7, in_ch, base)). The reference's released A2B checkpoints are
@@ -164,6 +175,19 @@ class DualGeneratorEngine:
             from ducosy_tpu.ops.pallas import pallas_available
             if pallas_available():
                 trunk = "mega" if quant else "mono"
+        elif trunk != "auto":
+            # same rule as quant above: never serve (or A/B) a silently
+            # different configuration — an explicit trunk needs the packed
+            # forward, and the fused trunks need CBAM blocks
+            if forward != "packed":
+                raise ValueError(
+                    f"trunk={trunk!r} requires the packed forward (got "
+                    f"forward={forward!r})")
+            has_cbam = "ca" in (st_params.get("block0", {}) or {})
+            if trunk != "xla" and not has_cbam:
+                raise ValueError(
+                    f"trunk={trunk!r} needs CBAM checkpoints (the fused "
+                    "trunk kernels include the CBAM gates)")
         self.trunk = trunk
         self.compute_dtype = compute_dtype
         self._forward = jax.jit(self._forward_impl,
@@ -203,10 +227,19 @@ class DualGeneratorEngine:
         """(B, H, W) stored pixels (+ optional (B, s, s, M) mask channels at
         model resolution) -> dict of outputs, all on device."""
         hu_img = hu.stored_to_hu(stored, slope, intercept)
-        st_in = hu.normalize_window(hu_img, self.st_range.hu_min,
-                                    self.st_range.hu_max)
-        lung_in = hu.normalize_window(hu_img, self.lung_range.hu_min,
-                                      self.lung_range.hu_max)
+
+        def _norm(rng_cfg):
+            if self.soft_squeeze and rng_cfg.use_soft_squeezing:
+                # the squeeze expects window-clipped HU (dataset.py
+                # applies it after the clip, preprocess.py:43-52)
+                clipped = jnp.clip(hu_img, rng_cfg.hu_min, rng_cfg.hu_max)
+                return hu.soft_squeeze(clipped, rng_cfg.hu_min,
+                                       rng_cfg.hu_max)
+            return hu.normalize_window(hu_img, rng_cfg.hu_min,
+                                       rng_cfg.hu_max)
+
+        st_in = _norm(self.st_range)
+        lung_in = _norm(self.lung_range)
         if not self.use_masks:
             x = jnp.stack([st_in, lung_in])[..., None]   # (2, B, H, W, 1)
             if x.shape[2:4] != (self.img_size, self.img_size):
@@ -223,8 +256,11 @@ class DualGeneratorEngine:
         else:
             st_x = self._resize_in(st_in[..., None])
             lung_x = self._resize_in(lung_in[..., None])
-            st_masks = masks["st"] if masks else None
-            lung_masks = masks["lung"] if masks else None
+            # .get, not []: when exactly one model is mask-conditioned
+            # (e.g. a framework 3-channel st checkpoint + a released
+            # 1-channel lung one) _host_masks only emits that model's key
+            st_masks = masks.get("st") if masks else None
+            lung_masks = masks.get("lung") if masks else None
             if self.st_channels > 1:
                 st_x = jnp.concatenate([st_x, st_masks], axis=-1)
             if self.lung_channels > 1:
@@ -280,7 +316,6 @@ class DualGeneratorEngine:
         host (scipy geometry doesn't XLA-compile; same placement as the
         reference's DataLoader workers). Returns per-model NHWC masks at
         model resolution."""
-        from ducosy_tpu.masks import generate_anatomical_masks
         from ducosy_tpu.data.dataset import _resize_nearest
 
         hu_vol = np.asarray(stored, np.float32) * slope + intercept

@@ -166,7 +166,12 @@ def postprocess_ct_volume(volume, method: str = "gaussian3d",
 
 def apply_diffmap(volume, diff_volume, threshold: float = 8.0):
     """Add a thresholded HU difference map (modules/postprocess.py:275-300,
-    used by the dormant nmodel path)."""
+    used by the dormant nmodel path).
+
+    The uint8 cast is deliberate reference parity (postprocess.py:297):
+    deltas above 255 HU wrap around and fractions truncate toward zero.
+    The nmodel recipe's diff maps are small enhancement deltas, but be
+    aware the cast is a wrap, not a clip, if repurposing this."""
     volume = np.asarray(volume)
     diff = np.asarray(diff_volume).copy()
     diff[diff < threshold] = 0

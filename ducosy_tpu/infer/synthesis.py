@@ -35,13 +35,15 @@ def composite_slice(raw_stored: np.ndarray, raw_hu: np.ndarray,
                     st_range: RangeConfig = SOFT_TISSUE,
                     lung_range: RangeConfig = LUNG) -> np.ndarray:
     """HU-range-gated overwrite compositing for one slice
-    (generate.py:218-237)."""
-    merged = np.array(raw_stored, copy=True)
+    (generate.py:218-237; the reference composites integer pixel arrays,
+    so np.where's dtype promotion is exact there — and it keeps this
+    function consistent with composite_volume when callers pass float
+    model outputs against an int raw array, where in-place fancy
+    assignment would silently truncate instead)."""
     st_mask = (raw_hu >= st_range.hu_min) & (raw_hu <= st_range.hu_max)
     lung_mask = (raw_hu >= lung_range.hu_min) & (raw_hu <= lung_range.hu_max)
-    merged[st_mask] = st_stored[st_mask]
-    merged[lung_mask] = lung_stored[lung_mask]
-    return merged
+    merged = np.where(st_mask, st_stored, raw_stored)
+    return np.where(lung_mask, lung_stored, merged)
 
 
 def composite_volume(raw_stored, raw_hu, st_stored, lung_stored,

@@ -444,3 +444,97 @@ def test_trunk_auto_resolution(monkeypatch):
     module_eng = DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
                                      forward="module")
     assert module_eng.trunk == "auto"
+
+
+def test_engine_single_sided_mask_conditioning(rng):
+    """Exactly ONE mask-conditioned generator (framework st checkpoint +
+    released 1-channel lung checkpoint): _host_masks emits only that
+    model's key and the forward must not KeyError on the other."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synth import chest_hu
+
+    mcfg = ModelConfig(num_residual_blocks=1)
+    g3 = Generator(input_channels=3, num_residual_blocks=1)
+    g1 = Generator(input_channels=1, num_residual_blocks=1)
+    p_st = g3.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))["params"]
+    p_lu = g1.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))["params"]
+    eng = DualGeneratorEngine(p_st, p_lu, model_cfg=mcfg, img_size=128,
+                              compute_dtype=jnp.float32)
+    assert eng.use_masks and eng.lung_channels == 1
+
+    vol_hu = np.stack([chest_hu(128, 128, z=i) for i in range(2)])
+    stored = (vol_hu + 1024).astype(np.int16)
+    out = eng.generate_batch(stored, 1.0, -1024.0)
+    assert out["st_stored"].shape == (2, 128, 128)
+    final = eng.run_patient(stored, 1.0, -1024.0, chunk=2)
+    assert final.shape == (2, 128, 128)
+    # mirrored: only lung conditioned (2ch = image + lung mask)
+    g2 = Generator(input_channels=2, num_residual_blocks=1)
+    p_lu2 = g2.init(jax.random.PRNGKey(2),
+                    jnp.zeros((1, 64, 64, 2)))["params"]
+    eng2 = DualGeneratorEngine(p_lu, p_lu2, model_cfg=mcfg, img_size=128,
+                               compute_dtype=jnp.float32)
+    assert eng2.st_channels == 1 and eng2.lung_channels == 2
+    out2 = eng2.generate_batch(stored, 1.0, -1024.0)
+    assert out2["lung_stored"].shape == (2, 128, 128)
+
+
+def test_engine_soft_squeeze_matches_training_transform(rng):
+    """soft_squeeze=True must feed the models the EXACT training-time
+    input transform (dataset _hu_transform_np: clip -> squeeze), vs the
+    default's reference-parity linear window."""
+    from ducosy_tpu.data.dataset import _hu_transform_np
+    from ducosy_tpu.ops import hu as hu_ops
+
+    hu_img = rng.uniform(-1200, 3000, (4, 32, 32)).astype(np.float32)
+    sq = np.asarray(hu_ops.soft_squeeze(
+        jnp.clip(jnp.asarray(hu_img), SOFT_TISSUE.hu_min,
+                 SOFT_TISSUE.hu_max),
+        SOFT_TISSUE.hu_min, SOFT_TISSUE.hu_max))
+    ref = _hu_transform_np(hu_img, SOFT_TISSUE.hu_min, SOFT_TISSUE.hu_max,
+                           True)
+    np.testing.assert_allclose(sq, ref, rtol=1e-5, atol=1e-6)
+
+    # engine smoke: both modes run and differ (inputs near the window
+    # ceiling are the squeezed region)
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1)
+    p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    stored = rng.integers(0, 3000, (2, 32, 32)).astype(np.int16)
+    lin = DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
+                              compute_dtype=jnp.float32)
+    sqz = DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
+                              compute_dtype=jnp.float32, soft_squeeze=True)
+    o_lin = lin.generate_batch(stored, 1.0, -1024.0)
+    o_sq = sqz.generate_batch(stored, 1.0, -1024.0)
+    assert np.isfinite(o_sq["st_stored"]).all()
+    assert not np.allclose(o_lin["st_stored"], o_sq["st_stored"])
+
+
+def test_composite_slice_volume_agree_on_float_outputs(rng):
+    """composite_slice and composite_volume must produce identical results
+    when float model outputs composite against an int16 raw volume (the
+    in-place fancy-assignment form would truncate toward zero)."""
+    raw = rng.integers(0, 3000, (3, 16, 16)).astype(np.int16)
+    raw_hu = raw.astype(np.float32) - 1024.0
+    st = rng.uniform(0, 3000, (3, 16, 16)).astype(np.float32)
+    lung = rng.uniform(0, 3000, (3, 16, 16)).astype(np.float32)
+    vol = synthesis.composite_volume(raw, raw_hu, st, lung)
+    per = np.stack([synthesis.composite_slice(raw[z], raw_hu[z], st[z],
+                                              lung[z]) for z in range(3)])
+    np.testing.assert_array_equal(vol, per)
+
+
+def test_explicit_trunk_requires_packed_and_cbam():
+    """An explicitly requested fused trunk must never be silently ignored
+    (same rule the engine enforces for quant)."""
+    mcfg = ModelConfig(num_residual_blocks=1)
+    gen = Generator(input_channels=1, num_residual_blocks=1, use_cbam=False)
+    p = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
+    with pytest.raises(ValueError, match="packed"):
+        DualGeneratorEngine(p, p, model_cfg=mcfg, img_size=32,
+                            trunk="mono", forward="module")
+    with pytest.raises(ValueError, match="CBAM"):
+        DualGeneratorEngine(p, p, model_cfg=mcfg, img_size=32,
+                            trunk="mono", forward="packed")
