@@ -34,6 +34,13 @@ def parse_args(argv=None):
 def main(argv=None):
     args = parse_args(argv)
     from ducosy_tpu.eval import report
+    from ducosy_tpu.eval.lpips import default_weights_path
+
+    if default_weights_path() is None:
+        print("note: no LPIPS weights found — the lpips column will be NaN "
+              "(like the reference without its lpips package). Provision "
+              "them once with scripts/export_lpips_weights.py, or point "
+              "DUCOSY_LPIPS_WEIGHTS at an existing lpips_alex.npz/.pth.")
 
     calc_dir, data_dir, tasks = report.convert(
         args.input_dir_root, args.output_dir_root, args.dataset_names,

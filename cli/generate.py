@@ -104,12 +104,28 @@ def load_engine(args):
 
 
 def _read_series(folder):
+    """Read a sorted series, skipping unreadable slice files with a warning
+    instead of aborting the patient — the reference's per-file
+    try/except-continue (generate.py:128-132). The pixel decode is forced
+    here so corrupt PixelData is caught per slice, not mid-np.stack."""
     from ducosy_tpu.data.pairing import sort_dicom_files
     from ducosy_tpu.dicom import dcmread
 
     files = sort_dicom_files(glob.glob(os.path.join(folder, "*.dcm")))
-    datasets = [dcmread(f) for f in files]
-    return files, datasets
+    kept, datasets, shape = [], [], None
+    for f in files:
+        try:
+            ds = dcmread(f)
+            px = ds.pixel_array
+            if shape is not None and px.shape != shape:
+                raise ValueError(f"slice shape {px.shape} != series {shape}")
+            shape = px.shape
+        except Exception as e:  # skip and continue, like the reference
+            print(f"  warning: skipping unreadable slice {f}: {e}")
+            continue
+        kept.append(f)
+        datasets.append(ds)
+    return kept, datasets
 
 
 def _final_tags(out_ds, merged, series_description="DuCoSyGAN sCECT v2"):

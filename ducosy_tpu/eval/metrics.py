@@ -85,7 +85,13 @@ def calculate_ssim(img1: np.ndarray, img2: np.ndarray) -> Pair:
 def calculate_ms_ssim(img1: np.ndarray, img2: np.ndarray) -> Pair:
     """Multi-scale SSIM on min-max normalized volumes (the reference feeds
     the whole volume as a batch, calculate.py:277-289). Needs spatial dims
-    >= 176; returns NaN otherwise (like the reference's exception path)."""
+    >= 176; returns NaN otherwise (like the reference's exception path).
+
+    Per-slice values are TRUE per-slice MS-SSIMs (each slice's own scale
+    maps, volume-level normalization) — a documented deviation from the
+    reference, which replicates the single batch value per slice
+    (calculate.py:288). The volume value keeps the batch-mean computation,
+    so it still matches torchmetrics/the reference."""
     import jax.numpy as jnp
 
     from ducosy_tpu.losses.ssim import ms_ssim
@@ -93,10 +99,10 @@ def calculate_ms_ssim(img1: np.ndarray, img2: np.ndarray) -> Pair:
         return float("nan"), []
     a = (img1 - img1.min()) / (img1.max() - img1.min() + 1e-8)
     b = (img2 - img2.min()) / (img2.max() - img2.min() + 1e-8)
-    val = float(ms_ssim(jnp.asarray(a[..., None], jnp.float32),
-                        jnp.asarray(b[..., None], jnp.float32),
-                        data_range=1.0))
-    return val, [val] * len(img1)
+    val, per = ms_ssim(jnp.asarray(a[..., None], jnp.float32),
+                       jnp.asarray(b[..., None], jnp.float32),
+                       data_range=1.0, return_per_sample=True)
+    return float(val), [float(v) for v in np.asarray(per)]
 
 
 _LPIPS_CACHE: dict = {}

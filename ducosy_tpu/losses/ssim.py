@@ -99,26 +99,42 @@ def _avg_pool_2x(x):
 
 
 def ms_ssim(x, y, *, data_range: float = 1.0, win_size: int = 11,
-            win_sigma: float = 1.5, weights=MS_WEIGHTS):
+            win_sigma: float = 1.5, weights=MS_WEIGHTS,
+            return_per_sample: bool = False):
     """Multi-scale SSIM (torchmetrics/pytorch_msssim defaults; evaluation
-    metric at calculate.py:274-291). Requires spatial dims > (win_size-1)*2^4."""
+    metric at calculate.py:274-291). Requires spatial dims > (win_size-1)*2^4.
+
+    With return_per_sample=True, additionally returns a (N,) array of
+    per-sample MS-SSIM values (cs/ssim means over each sample's own maps) —
+    the honest per-slice record the reference fakes by replicating the batch
+    value (calculate.py:288); the scalar stays the batch-mean computation so
+    the volume value keeps matching torchmetrics."""
     win = _gaussian_window(win_size, win_sigma)
     x, _ = _to_nhw(x)
     y, _ = _to_nhw(y)
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     levels = len(weights)
-    mcs = []
-    value = None
+    mcs, mcs_ps = [], []
+    value = value_ps = None
     for i in range(levels):
         ssim_map, cs_map = _ssim_maps(x, y, win, data_range)
         if i < levels - 1:
             mcs.append(jnp.maximum(jnp.mean(cs_map), 0.0))
+            if return_per_sample:
+                mcs_ps.append(jnp.maximum(cs_map.mean(axis=(1, 2)), 0.0))
             x = _avg_pool_2x(x)
             y = _avg_pool_2x(y)
         else:
             value = jnp.maximum(jnp.mean(ssim_map), 0.0)
+            if return_per_sample:
+                value_ps = jnp.maximum(ssim_map.mean(axis=(1, 2)), 0.0)
     result = value ** weights[-1]
     for w, cs in zip(weights[:-1], mcs):
         result = result * cs ** w
-    return result
+    if not return_per_sample:
+        return result
+    result_ps = value_ps ** weights[-1]
+    for w, cs in zip(weights[:-1], mcs_ps):
+        result_ps = result_ps * cs ** w
+    return result, result_ps

@@ -271,3 +271,57 @@ def load_model(checkpoint_path: str):
                 base_channels=base_channels)
     params, batch_stats = unet3d_params_from_torch(state_dict)
     return model, {"params": params, "batch_stats": batch_stats}
+
+
+def normalize_volume_to_uint8(volume: np.ndarray) -> np.ndarray:
+    """Global min-max normalize a (Z, H, W) volume to uint8 (reference
+    `nomalize_volume`, inference.py:139-152); flat volumes map to 128."""
+    volume = np.asarray(volume)
+    gmin, gmax = float(volume.min()), float(volume.max())
+    if gmax > gmin:
+        out = (volume - gmin) / (gmax - gmin) * 255.0
+        return out.astype(np.uint8)
+    return np.full(volume.shape, 128, np.uint8)
+
+
+def save_results(predicted_diff: np.ndarray, output_dir: str,
+                 base_name: str, original_volume: np.ndarray | None = None
+                 ) -> dict:
+    """Dump a predicted HU difference map like the reference's
+    `save_results` (modules/nmodel/inference.py:85-136): the diff volume as
+    `{base}_predicted_diff.npy`, per-slice globally-normalized grayscale
+    PNGs under `{base}_diff_slices/slice_{i:04d}.png`, and — when the
+    original NCCT volume is given — the combined (original + diff) `.npy`
+    plus its own slice PNG set. PIL stands in for the reference's cv2.
+    Returns the written paths."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(output_dir, exist_ok=True)
+    predicted_diff = np.asarray(predicted_diff, np.float32)
+    written = {}
+
+    volume_path = os.path.join(output_dir, f"{base_name}_predicted_diff.npy")
+    np.save(volume_path, predicted_diff)
+    written["diff_volume"] = volume_path
+
+    def dump_slices(volume, subdir):
+        slice_dir = os.path.join(output_dir, subdir)
+        os.makedirs(slice_dir, exist_ok=True)
+        for i, img in enumerate(normalize_volume_to_uint8(volume)):
+            Image.fromarray(img, mode="L").save(
+                os.path.join(slice_dir, f"slice_{i:04d}.png"))
+        return slice_dir
+
+    written["diff_slices"] = dump_slices(predicted_diff,
+                                         f"{base_name}_diff_slices")
+
+    if original_volume is not None:
+        combined = np.asarray(original_volume, np.float32) + predicted_diff
+        combined_path = os.path.join(output_dir, f"{base_name}_combined.npy")
+        np.save(combined_path, combined)
+        written["combined_volume"] = combined_path
+        written["combined_slices"] = dump_slices(
+            combined, f"{base_name}_combined_slices")
+    return written

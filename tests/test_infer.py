@@ -330,6 +330,50 @@ def test_generate_cli_fast_pipeline(tmp_path, rng):
         assert ds.pixel_array.shape == (64, 64)
 
 
+def test_generate_cli_survives_corrupt_slice(tmp_path, rng, capsys):
+    """One unreadable slice file must not kill the patient run: the CLI
+    skips it with a warning and writes the remaining slices (the
+    reference's per-file try/except-continue, generate.py:128-132)."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "cli"))
+    from synth import write_dataset
+    import importlib
+
+    gen_cli = importlib.import_module("generate")
+    from ducosy_tpu.dicom import dcmread
+    from ducosy_tpu.train.checkpoint import save_params_npz
+
+    write_dataset(str(tmp_path / "input"), n_patients=1, n_slices=4, size=64)
+    # fuzz one mid-series slice into garbage
+    pdir = next((tmp_path / "input" / "SynthSet").iterdir())
+    victim = sorted((pdir / "POST VUE").glob("*.dcm"))[2]
+    victim.write_bytes(b"\x00" * 64 + bytes(rng.integers(0, 256, 128,
+                                                         dtype=np.uint8)))
+
+    g1 = Generator(input_channels=1, num_residual_blocks=1)
+    p_st = g1.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)))["params"]
+    p_lu = g1.init(jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 1)))["params"]
+    st_path, lu_path = str(tmp_path / "st.npz"), str(tmp_path / "lu.npz")
+    save_params_npz(st_path, p_st)
+    save_params_npz(lu_path, p_lu)
+
+    gen_cli.main([
+        "--input_dir_root", str(tmp_path / "input"),
+        "--output_dir_root", str(tmp_path / "output"),
+        "--working_dir_root", str(tmp_path / "working"),
+        "--dataset_names", "SynthSet",
+        "--img_size", "64", "--slice_batch", "2",
+        "--soft_tissue_model", st_path, "--lung_model", lu_path,
+        "--compute_dtype", "float32",
+    ])
+    out_dir = tmp_path / "output" / "SynthSet" / pdir.name
+    files = sorted(os.listdir(out_dir))
+    assert files == [f"{i:04d}.dcm" for i in range(3)]  # 4 - 1 corrupt
+    assert dcmread(str(out_dir / files[0])).pixel_array.shape == (64, 64)
+    assert "skipping unreadable slice" in capsys.readouterr().out
+
+
 def test_engine_packed_forward_matches_module(rng):
     """The engine's packed generator path must produce the same patient
     output as the canonical module path (fp32 on CPU -> near-exact)."""

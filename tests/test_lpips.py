@@ -134,3 +134,62 @@ def test_loader_rejects_incomplete(tmp_path):
     torch.save(sd, str(path))
     with pytest.raises(ValueError, match="lin3"):
         load_lpips_weights(str(path))
+
+
+def test_export_script_offline_mode(tmp_path):
+    """scripts/export_lpips_weights.py --backbone/--heads merges local
+    checkpoints into a validated .npz that calculate_lpips picks up."""
+    import importlib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    export = importlib.import_module("export_lpips_weights")
+
+    sd = _synthetic_state_dict(seed=7)
+    backbone = {k: v for k, v in sd.items() if k.startswith("features.")}
+    heads = {k: v for k, v in sd.items() if k.startswith("lin")}
+    b_path, h_path = str(tmp_path / "alexnet.pth"), str(tmp_path / "alex.pth")
+    torch.save(backbone, b_path)
+    torch.save(heads, h_path)
+    out = str(tmp_path / "lpips_alex.npz")
+
+    export.main(["--backbone", b_path, "--heads", h_path, "--out", out])
+
+    rng = np.random.default_rng(0)
+    vol = rng.uniform(-500, 500, (2, 64, 64))
+    v, per = calculate_lpips(vol, vol + rng.normal(0, 50, vol.shape),
+                             weights_path=out)
+    assert np.isfinite(v) and len(per) == 2 and all(np.isfinite(per))
+
+    # merged .npz must equal a direct conversion of the full state dict
+    full = str(tmp_path / "full.pth")
+    torch.save(sd, full)
+    want = load_lpips_weights(full)
+    got = load_lpips_weights(out)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-6)
+
+
+def test_export_script_rejects_bad_shapes(tmp_path):
+    import importlib
+    import os
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    export = importlib.import_module("export_lpips_weights")
+
+    sd = _synthetic_state_dict(seed=1)
+    sd["features.0.weight"] = torch.randn(8, 3, 11, 11)  # wrong out_ch
+    b_path = str(tmp_path / "bad.pth")
+    torch.save({k: v for k, v in sd.items() if k.startswith("features.")},
+               b_path)
+    h_path = str(tmp_path / "heads.pth")
+    torch.save({k: v for k, v in sd.items() if k.startswith("lin")}, h_path)
+    with _pytest.raises(ValueError):
+        export.main(["--backbone", b_path, "--heads", h_path,
+                     "--out", str(tmp_path / "o.npz")])

@@ -112,6 +112,23 @@ def test_ms_ssim_large(rng):
     assert 0.5 < v <= 1.0
 
 
+def test_ms_ssim_per_slice_is_honest(rng):
+    """Per-slice MS-SSIM values are each slice's own score, not the batch
+    value replicated (the reference's calculate.py:288 fakes this)."""
+    a = rng.uniform(0, 1, (3, 192, 192))
+    b = a.copy()
+    # scramble slice 1 only — keeps the volume's min/max (and hence the
+    # shared normalization) identical, so clean slices stay bit-identical
+    b[1] = rng.permutation(b[1].ravel()).reshape(192, 192)
+    v, per = metrics.calculate_ms_ssim(a, b)
+    assert len(per) == 3
+    # clean slices score near-perfect, the scrambled one collapses
+    assert per[0] > 0.99 and per[2] > 0.99
+    assert per[1] < 0.5
+    # volume value = batch-mean computation over the same maps
+    assert 0.0 <= v <= 1.0 and v < min(per[0], per[2])
+
+
 def test_compute_all_keys(rng):
     a, b = _vols(rng)
     out = metrics.compute_all(a, b)

@@ -71,3 +71,34 @@ def test_train_nmodel_end_to_end(nmodel_data, tmp_path):
                                        "nmodel_best.npz"))
     assert os.path.exists(os.path.join(cfg.output_dir,
                                        "nmodel_config.json"))
+
+
+def test_save_results_dumps(tmp_path):
+    """save_results mirrors the reference's diff-map artifact dumps
+    (modules/nmodel/inference.py:85-136): .npy volumes + per-slice PNGs,
+    combined set only when the original volume is given."""
+    from PIL import Image
+
+    from ducosy_tpu.models.unet3d import (normalize_volume_to_uint8,
+                                          save_results)
+
+    rng = np.random.default_rng(0)
+    diff = rng.uniform(0, 400, (3, 16, 16)).astype(np.float32)
+    orig = rng.uniform(-1000, 1000, (3, 16, 16)).astype(np.float32)
+
+    out = save_results(diff, str(tmp_path), "pat01", original_volume=orig)
+    np.testing.assert_array_equal(np.load(out["diff_volume"]), diff)
+    np.testing.assert_allclose(np.load(out["combined_volume"]), orig + diff,
+                               rtol=1e-6)
+    for key in ("diff_slices", "combined_slices"):
+        pngs = sorted(os.listdir(out[key]))
+        assert pngs == [f"slice_{i:04d}.png" for i in range(3)]
+    img = np.asarray(Image.open(os.path.join(out["diff_slices"],
+                                             "slice_0000.png")))
+    np.testing.assert_array_equal(img, normalize_volume_to_uint8(diff)[0])
+
+    out2 = save_results(diff, str(tmp_path / "b"), "pat02")
+    assert "combined_volume" not in out2 and "combined_slices" not in out2
+
+    flat = normalize_volume_to_uint8(np.zeros((2, 4, 4)))
+    assert (flat == 128).all()
