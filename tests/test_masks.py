@@ -124,3 +124,80 @@ def test_fast_hull_close_to_exact():
     inter = (fast & exact).sum()
     union = (fast | exact).sum()
     assert inter / union > 0.98
+
+
+def noisy_volume(z=6, h=256, w=256, seed=0):
+    """Multi-slice phantom with random speckle to stress components/holes."""
+    rng = np.random.default_rng(seed)
+    vol = np.stack([chest_phantom(h, w)] * z).copy()
+    sp = rng.random(vol.shape) < 0.002
+    vol[sp] = rng.uniform(-1000, 1000, int(sp.sum())).astype(np.float32)
+    return vol
+
+
+def test_fused_driver_matches_independent_detectors():
+    """generate_anatomical_masks (fused=True, the default) must be
+    byte-identical to running each detector independently."""
+    vol = noisy_volume()
+    fused = anatomy.generate_anatomical_masks(vol)
+    unfused = anatomy.generate_anatomical_masks(vol, fused=False)
+    assert set(fused) == set(unfused)
+    for k in fused:
+        np.testing.assert_array_equal(fused[k], unfused[k])
+
+
+@pytest.mark.skipif(not anatomy._HAS_CV2, reason="cv2 not installed")
+def test_cv2_primitives_match_scipy():
+    """The cv2 fast paths for labeling and hole filling must be exact:
+    identical component partitions and identical fills (4-connectivity)."""
+    rng = np.random.default_rng(1)
+    mask = (rng.random((256, 256)) < 0.3).astype(np.uint8)
+    mask[100:140, 100:140] = 1
+    mask[110:130, 110:130] = 0  # a hole
+    # fills
+    from scipy import ndimage
+    np.testing.assert_array_equal(
+        anatomy._fill_holes(mask),
+        ndimage.binary_fill_holes(mask).astype(np.uint8))
+    # labels: same partition (bijection between labelings)
+    l_cv, n_cv = anatomy._label(mask)
+    l_sp, n_sp = ndimage.label(mask)
+    assert n_cv == n_sp
+    pairs = set(zip(l_cv.ravel().tolist(), l_sp.ravel().tolist()))
+    assert len(pairs) == n_cv + 1  # background plus one pair per component
+
+
+@pytest.mark.skipif(not anatomy._HAS_CV2, reason="cv2 not installed")
+def test_masks_identical_with_and_without_cv2():
+    """End-to-end: the cv2-accelerated pipeline and the scipy fallback give
+    identical masks (exact_hull=True removes the one documented <=1px
+    hull-raster deviation)."""
+    vol = noisy_volume(z=3)
+    with_cv2 = anatomy.generate_anatomical_masks(vol, exact_hull=True)
+    anatomy._HAS_CV2 = False
+    try:
+        without = anatomy.generate_anatomical_masks(vol, exact_hull=True)
+    finally:
+        anatomy._HAS_CV2 = True
+    for k in with_cv2:
+        np.testing.assert_array_equal(with_cv2[k], without[k])
+
+
+def test_row_extreme_hull_equals_all_pixel_hull():
+    """The row-extreme point reduction must produce the same hull REGION as
+    hulling every masked pixel (rasterized identically via cv2)."""
+    rng = np.random.default_rng(2)
+    for _ in range(5):
+        mask = np.zeros((128, 128), np.uint8)
+        pts = rng.integers(20, 108, size=(40, 2))
+        mask[pts[:, 0], pts[:, 1]] = 1
+        if not anatomy._HAS_CV2:
+            pytest.skip("cv2 not installed")
+        from scipy.spatial import ConvexHull
+        import cv2
+        all_px = np.argwhere(mask == 1)
+        ref = np.zeros_like(mask)
+        verts = all_px[ConvexHull(all_px).vertices][:, ::-1].astype(np.int32)
+        cv2.fillConvexPoly(ref, verts.reshape(-1, 1, 2), 1)
+        fast = anatomy._hull_mask(mask, exact=False)
+        np.testing.assert_array_equal(fast, ref)
