@@ -13,12 +13,21 @@ volume postprocess — end-to-end INCLUDING host<->device transfers
 patients pipelined so upload/compute/download overlap.
 
 Prints exactly one JSON line. Secondary records ride as extra keys:
-  breakdown.compute_slices_per_s  — device-resident pipeline rate
+  breakdown.compute_slices_per_s  — device-resident pipeline rate, MEDIAN of
+                                    BENCH_ROUNDS rounds (min/max disclosed)
+  breakdown.engine                — exact engine config that produced the
+                                    headline (trunk/forward/quant/dtype)
   breakdown.upload_MBps / download_MBps — measured link rates
   breakdown.bound                 — "compute" | "transfer"
   training.steps_per_s / samples_per_s — full CycleGAN step, batch 8@512^2
-(env: BENCH_SLICES, BENCH_CHUNK, BENCH_REPEATS, BENCH_TRAIN=0 to skip the
-training record, BENCH_TRAIN_BUDGET_S for its watchdog).
+  training.loader_samples_per_s   — REAL input pipeline (DICOM decode + HU +
+                                    auto anatomical masks) on this host,
+                                    plus input_bound/host_cpus
+  quant — int8 serving gate: throughput AND output fidelity (mean/p99 |dHU|
+          vs the bf16 engine on a structured phantom volume, reference-init
+          N(0,0.02) weights) so a quant-path regression fails loudly here
+(env: BENCH_SLICES, BENCH_CHUNK, BENCH_REPEATS, BENCH_ROUNDS, BENCH_TRAIN=0 /
+BENCH_LOADER=0 / BENCH_QUANT=0 to skip sections, BENCH_TRAIN_BUDGET_S).
 """
 import json
 import os
@@ -157,7 +166,12 @@ def main():
     if train_proc is not None:  # join before any timed section
         training = join_training_measure(train_proc, train_budget)
 
-    # ---- breakdown: compute-only rate (device-resident input)
+    # ---- breakdown: compute-only rate (device-resident input), MEDIAN of
+    # rounds — BENCH_r02 recorded a single 4-run block at 89.25 while the
+    # identical engine sustains 113-115 across repeated rounds (transient
+    # host/tunnel interference on the shared dev box); the median of
+    # several rounds is robust to one bad round and the spread is disclosed
+    rounds = int(os.environ.get("BENCH_ROUNDS", "5"))
     dv = jnp.asarray(warm)
     dv.block_until_ready()
     jit_kw = dict(chunk=chunk, n_slices=n_slices, pre_z_sigma=0.8,
@@ -167,12 +181,15 @@ def main():
     first = engine._run_patient_jit(engine.params, dv, slope, inter, None,
                                     **jit_kw)
     np.asarray(first[:1])  # true sync: block_until_ready returns early here
-    t0 = time.perf_counter()
-    outs = [engine._run_patient_jit(engine.params, dv, slope, inter, None,
-                                    **jit_kw) for _ in range(4)]
-    for o in outs:
-        np.asarray(o[:1])  # forces each program; 0.5 MB fetch is noise
-    compute_rate = n_slices * 4 / (time.perf_counter() - t0)
+    round_rates = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        outs = [engine._run_patient_jit(engine.params, dv, slope, inter,
+                                        None, **jit_kw) for _ in range(4)]
+        for o in outs:
+            np.asarray(o[:1])  # forces each program; 0.5 MB fetch is noise
+        round_rates.append(n_slices * 4 / (time.perf_counter() - t0))
+    compute_rate = float(np.median(round_rates))
 
     # ---- steady-state end-to-end: all patients in flight; downloads start
     # as soon as each result is ready (copy_to_host_async) so upload,
@@ -239,6 +256,90 @@ def main():
                       if m_rate < 0.85 * compute_rate else "compute"),
         }
 
+    # ---- quant gate: int8 trunk serving must stay fast AND faithful.
+    # Fidelity is measured against the bf16 engine on a structured chest
+    # phantom (not noise) with the reference's N(0,0.02) init — a
+    # regression in the int8 path shows up as a jump in mean/p99 |dHU|
+    # in this driver-recorded artifact, not just in local dev tables.
+    quant_rec = None
+    if os.environ.get("BENCH_QUANT", "1") != "0":
+        q_engine = DualGeneratorEngine(st_params, lung_params,
+                                       model_cfg=model_cfg, img_size=512,
+                                       compute_dtype=jnp.bfloat16,
+                                       quant="trunk")
+        yy, xx = np.mgrid[:512, :512]
+        phantom = np.empty((n_slices, 512, 512), np.int16)
+        for z in range(n_slices):
+            hu = np.full((512, 512), -1000.0, np.float32)
+            cy = 256 + 10 * np.sin(z / 4)
+            hu[((yy - cy) / 210) ** 2 + ((xx - 256) / 235) ** 2 < 1] = 40.0
+            for sx in (-85, 85):
+                hu[((yy - cy) / 95) ** 2 +
+                   ((xx - 256 - sx) / 62) ** 2 < 1] = -850.0
+            ring = (((yy - cy) / 200) ** 2 + ((xx - 256) / 225) ** 2 < 1) & \
+                   (((yy - cy) / 185) ** 2 + ((xx - 256) / 210) ** 2 >= 1)
+            hu[ring] = 400.0
+            phantom[z] = np.clip(hu + 1024.0, -32768, 32767).astype(np.int16)
+        ref_out = np.asarray(engine.run_patient_async(phantom, 1.0, -1024.0,
+                                                      chunk=chunk))
+        q_first = np.asarray(q_engine.run_patient_async(
+            phantom, 1.0, -1024.0, chunk=chunk))
+        d = np.abs(q_first.astype(np.float32) - ref_out.astype(np.float32))
+        qv = jnp.asarray(phantom)
+        qv.block_until_ready()
+        t0 = time.perf_counter()
+        qouts = [q_engine._run_patient_jit(q_engine.params, qv, slope, inter,
+                                           None, **jit_kw) for _ in range(4)]
+        for o in qouts:
+            np.asarray(o[:1])
+        quant_rec = {
+            "mode": "trunk-int8",
+            "slices_per_s": round(n_slices * 4 /
+                                  (time.perf_counter() - t0), 2),
+            "mean_abs_dHU_vs_bf16": round(float(d.mean()), 3),
+            "p99_abs_dHU_vs_bf16": round(float(np.percentile(d, 99)), 2),
+            "max_abs_dHU_vs_bf16": round(float(d.max()), 1),
+            "params": "reference-init N(0,0.02)",
+        }
+
+    # ---- real input pipeline: DICOM decode + HU + auto anatomical masks
+    # through SlicePairDataset/HostLoader on synthetic 512^2 patients —
+    # the reference hides this behind 16 DataLoader workers
+    # (modules/trainer.py:432-433); here the measured host rate and which
+    # side binds ride the record (this dev box has very few vCPUs; the
+    # per-core rate documents the host sizing requirement)
+    loader_rec = None
+    if os.environ.get("BENCH_LOADER", "1") != "0":
+        import sys as _sys
+        import tempfile
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.synth import write_patient
+        from ducosy_tpu.config import SOFT_TISSUE
+        from ducosy_tpu.data.dataset import SlicePairDataset
+        from ducosy_tpu.data.loader import HostLoader
+        with tempfile.TemporaryDirectory(prefix="bench_loader_") as td:
+            pats = [write_patient(os.path.join(td, f"p{i}"), n_slices=24,
+                                  size=512) for i in range(2)]
+            ds = SlicePairDataset(pats, SOFT_TISSUE, img_size=512)
+            loader = HostLoader(ds, batch_size=8, num_workers=os.cpu_count(),
+                                drop_last=True)
+            n_samp = 0
+            t0 = time.perf_counter()
+            for b in loader:
+                n_samp += b["a"].shape[0]
+            loader_dt = time.perf_counter() - t0
+        loader_rate = n_samp / loader_dt
+        step_rate = training.get("samples_per_s")
+        loader_rec = {
+            "loader_samples_per_s": round(loader_rate, 2),
+            "host_cpus": os.cpu_count(),
+            "samples_measured": n_samp,
+            "input_bound": (bool(loader_rate < step_rate)
+                            if isinstance(step_rate, (int, float)) else None),
+        }
+        if isinstance(training, dict):
+            training = {**training, **loader_rec}
+
     # Headline = the production throughput: the steady-state rate of the
     # full patient pipeline with volumes device-resident. The reference's
     # 0.15 s/slice 4090 baseline paid only local PCIe (~16 GB/s, negligible
@@ -260,6 +361,13 @@ def main():
         "vs_baseline": round(value / BASELINE_SLICES_PER_S, 2),
         "breakdown": {
             "compute_slices_per_s": round(compute_rate, 2),
+            "compute_rounds": [round(r, 2) for r in round_rates],
+            "engine": {
+                "trunk": engine.trunk,
+                "forward": engine.forward_impl,
+                "quant": engine.quant,
+                "compute_dtype": "bfloat16",
+            },
             "end_to_end_incl_tunnel_slices_per_s": round(e2e_rate, 2),
             "bound": "dev-tunnel-transfer" if tunnel_bound else "compute",
             "upload_MBps": None if np.isnan(up_mbps) else round(up_mbps, 1),
@@ -271,6 +379,7 @@ def main():
             **({"masked": masked} if masked else {}),
         },
         "training": training,
+        **({"quant": quant_rec} if quant_rec else {}),
     }))
 
 

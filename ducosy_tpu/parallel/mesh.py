@@ -82,19 +82,20 @@ def process_row_slice(mesh: Mesh, global_batch: int) -> slice:
     own under `batch_sharding` (contiguous for the standard device order).
 
     This is the per-host input-feed contract: each host loads only these
-    rows and assembles the global array with `global_shard_batch`."""
+    rows and assembles the global array with `global_shard_batch`.
+
+    On a (data, sp) mesh, batch rows shard dp-ways while each row's H axis
+    spreads over the sp devices of that mesh row; a host therefore feeds
+    FULL images for the batch rows it owns, which requires its devices to
+    cover whole sp rows of the mesh (the flat device order is row-major, so
+    standard jax.devices()-ordered meshes satisfy this whenever the process
+    count divides dp or vice versa)."""
     devs = list(mesh.devices.flat)
     n_data = int(mesh.shape.get(DATA_AXIS, len(devs)))
-    if len(devs) != n_data and mesh_process_count(mesh) > 1:
-        # batch rows shard dp-ways only; mapping a (data, sp) mesh's rows
-        # onto processes needs each host to span whole sp rows — not a
-        # supported feed yet (single-host sp meshes never get here)
-        raise NotImplementedError(
-            "per-process input feed over a multi-host (data, sp) mesh")
+    sp = len(devs) // n_data  # 1 on 1-D meshes
     if global_batch % n_data != 0:
         raise ValueError(f"global batch {global_batch} not divisible by "
                          f"{n_data} data-axis devices")
-    rows = global_batch // len(devs)
     pos = [i for i, d in enumerate(devs)
            if d.process_index == jax.process_index()]
     if not pos:
@@ -102,7 +103,16 @@ def process_row_slice(mesh: Mesh, global_batch: int) -> slice:
     if pos != list(range(pos[0], pos[0] + len(pos))):
         raise ValueError("this process's mesh devices are not contiguous; "
                          "build the mesh from jax.devices() order")
-    return slice(pos[0] * rows, (pos[-1] + 1) * rows)
+    if pos[0] % sp or len(pos) % sp:
+        raise ValueError(
+            f"this process's devices cover a partial sp row of the "
+            f"{n_data}x{sp} mesh (flat positions {pos[0]}..{pos[-1]}); the "
+            "per-host feed ships full images per batch row, so each process "
+            "must own whole sp rows — choose dp/sp so the process's device "
+            "count is a multiple of sp")
+    rows = global_batch // n_data
+    first_row, n_rows = pos[0] // sp, len(pos) // sp
+    return slice(first_row * rows, (first_row + n_rows) * rows)
 
 
 def global_shard_batch(mesh: Mesh, local_batch: Any) -> Any:
