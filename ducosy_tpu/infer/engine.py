@@ -67,13 +67,30 @@ class DualGeneratorEngine:
             from ducosy_tpu.parallel.mesh import SP_AXIS
             self._sp = int(mesh.shape.get(SP_AXIS, 1))
         if self._sp > 1:
-            if forward == "packed" or quant or trunk_int8 or fused_norm:
+            if quant or trunk_int8 or fused_norm:
                 raise ValueError(
                     "spatial ('sp') sharding partitions the H axis, which "
-                    "the packed space-to-depth forward, the Pallas kernels "
-                    "and the quantized modes don't support — use "
-                    "forward='module' (the 'auto' default under sp)")
-            forward = "module"
+                    "the Pallas kernels and the quantized modes don't "
+                    "support — serve those single-chip or over a pure "
+                    "'data' mesh")
+            if trunk not in ("auto", "xla"):
+                raise ValueError(
+                    f"trunk={trunk!r} is a Pallas kernel path; under sp "
+                    "sharding only trunk='xla' partitions (XLA SPMD "
+                    "inserts the halo exchanges)")
+            # The packed forward with the XLA trunk is pure XLA ops, so
+            # SPMD partitions it like the module path — the partitioned
+            # HLO carries the SAME collective profile (65 vs 70 halo
+            # permutes, 32 all-to-alls from the s2d/d2s reshapes present
+            # in both, ~29 IN-stats all-reduces; measured on a (2,2)
+            # virtual mesh, sp output exact vs single-device) — while
+            # keeping packed's single-chip advantage (module 59.4 ms vs
+            # packed/xla 44 ms at batch 8 x 512^2, docs/PERF.md). So sp
+            # serving defaults to packed instead of eating a ~40% cliff.
+            if forward == "auto":
+                forward = "packed" if img_size % 4 == 0 else "module"
+            if forward == "packed":
+                trunk = "xla"
         self.st_range = st_range
         self.lung_range = lung_range
         self.img_size = img_size

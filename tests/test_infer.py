@@ -442,9 +442,21 @@ def test_run_patient_spatial_mesh(rng):
         mesh = data_sp_mesh(dp, sp)
         eng = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
                                   compute_dtype=jnp.float32, mesh=mesh)
+        # under sp, auto now serves the packed forward with the XLA trunk
+        # (pure XLA ops — SPMD partitions them like the module path)
+        assert eng.forward_impl == "packed" and eng.trunk == "xla", (dp, sp)
         got = eng.run_patient(stored, 1.0, -1024.0, chunk=8)
         assert np.mean(np.abs(got.astype(np.int32)
                               - ref.astype(np.int32)) <= 1) > 0.999, (dp, sp)
+
+    # the module path stays available under sp by explicit request
+    mesh = data_sp_mesh(2, 4)
+    eng = DualGeneratorEngine(p1, p2, model_cfg=mcfg, img_size=32,
+                              compute_dtype=jnp.float32, mesh=mesh,
+                              forward="module")
+    got = eng.run_patient(stored, 1.0, -1024.0, chunk=8)
+    assert np.mean(np.abs(got.astype(np.int32)
+                          - ref.astype(np.int32)) <= 1) > 0.999
 
     # H not divisible by sp
     mesh = data_sp_mesh(1, 8)
@@ -462,7 +474,7 @@ def test_spatial_mesh_rejects_pallas_modes(rng):
     gen = Generator(input_channels=1, num_residual_blocks=1)
     p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
     mesh = data_sp_mesh(2, 4)
-    for kw in ({"forward": "packed"}, {"quant": "trunk"},
+    for kw in ({"trunk": "mono"}, {"trunk": "mega"}, {"quant": "trunk"},
                {"fused_norm": True}):
         with pytest.raises(ValueError):
             DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
