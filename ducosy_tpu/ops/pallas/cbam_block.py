@@ -29,6 +29,7 @@ import jax.numpy as jnp
 from ducosy_tpu.ops.pallas.instance_norm import (
     EPS,
     pallas_available,
+    reflect_fold_hw,
     reflect_pad_adjoint,
     reflect_pad_hw,
 )
@@ -366,6 +367,104 @@ def block_tail_bwd_pallas(h, g, w1, w2, wsa, *, eps: float = EPS,
     return dh, dx, dw1, dw2, dwsa_out
 
 
+def _analytic_tail_bwd(h, w1, w2, wsa, g, eps, pad, x_pad):
+    """Hand-written analytic VJP of the tail composition (same math as
+    jax.vjp(_xla_block_tail), incl. equal tie-splitting on both max-pool
+    adjoints), engineered for TPU:
+
+    - the reflect-pad fold is static slices + adds + concat
+      (reflect_fold_hw) — `.at[].add` lowers to scatter-add, which is the
+      single slowest op in the autodiff backward on this toolchain;
+    - big (N, H, W, C) intermediates stay in the io dtype (the forward
+      itself computes y/t in io dtype); every reduction accumulates fp32;
+    - no recompute-graph autodiff bookkeeping: one explicit chain, which
+      XLA fuses into ~a dozen traversals instead of ~40.
+
+    Measured (scripts/profile_trunk_bwd_micro.py, batch 8 x 128^2 x 256
+    bf16): autodiff-of-composition 4.94 ms/block -> see docs/PERF.md
+    round-3 addendum for this path's number.
+    """
+    io = h.dtype
+    n, hh, ww, c = h.shape
+    count = hh * ww
+    w1f = w1.astype(jnp.float32)
+    w2f = w2.astype(jnp.float32)
+    g = g.astype(io)
+    if pad:
+        g = reflect_fold_hw(g, pad, h_axis=1)                # (N, H, W, C)
+
+    # ---- recompute the forward chain (stats fp32, y/t in io dtype)
+    s = jnp.sum(h, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    sq = jnp.sum(jnp.square(h.astype(jnp.float32)), axis=(1, 2),
+                 keepdims=True)
+    mean = s / count
+    var = jnp.maximum(sq / count - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)                           # (N, 1, 1, C)
+    y = (h - mean.astype(io)) * inv.astype(io)               # (N, H, W, C)
+
+    avg = jnp.sum(y, axis=(1, 2), dtype=jnp.float32) / count  # (N, C)
+    mx32 = jnp.max(y, axis=(1, 2)).astype(jnp.float32)         # (N, C)
+    pre = jnp.einsum("nbc,cr->nbr", jnp.stack([avg, mx32], axis=1), w1f,
+                     preferred_element_type=jnp.float32)     # (N, 2, R)
+    hid = jnp.maximum(pre, 0.0)
+    gates = jnp.einsum("nbr,rc->nbc", hid, w2f,
+                       preferred_element_type=jnp.float32)   # (N, 2, C)
+    gate_c = jax.nn.sigmoid(gates[:, 0] + gates[:, 1])       # (N, C)
+    t = y * gate_c.astype(io)[:, None, None, :]              # (N, H, W, C)
+
+    sa_avg = jnp.sum(t, axis=-1, keepdims=True,
+                     dtype=jnp.float32) / c                  # (N, H, W, 1)
+    sa_max = jnp.max(t, axis=-1, keepdims=True).astype(jnp.float32)
+    stat = jnp.concatenate([sa_avg, sa_max], axis=-1)        # (N, H, W, 2)
+    z, conv_vjp = jax.vjp(
+        lambda s_, w_: jax.lax.conv_general_dilated(
+            s_, w_, (1, 1), [(SA_KERNEL // 2,) * 2] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC")),
+        stat, wsa.astype(jnp.float32))
+    gs = jax.nn.sigmoid(z)                                   # (N, H, W, 1)
+
+    # ---- adjoint
+    # spatial gate: dgs needs t; the 7x7 conv adjoint runs on (H, W) maps
+    dt = g * gs.astype(io)
+    dgs = jnp.sum((g * t).astype(jnp.float32), axis=-1, keepdims=True)
+    dz = dgs * gs * (1.0 - gs)                               # (N, H, W, 1)
+    dstat, dwsa32 = conv_vjp(dz)
+    mmask = (t.astype(jnp.float32) == sa_max).astype(io)
+    mcnt = jnp.sum(mmask, axis=-1, keepdims=True, dtype=jnp.float32)
+    dt = (dt + (dstat[..., :1] / c).astype(io)
+          + mmask * (dstat[..., 1:] / mcnt).astype(io))      # (N, H, W, C)
+
+    # channel gate: shared bottleneck MLP, per-branch ReLU masks
+    dgc = jnp.sum((dt * y).astype(jnp.float32), axis=(1, 2))  # (N, C)
+    da = dgc * gate_c * (1.0 - gate_c)                        # (N, C)
+    dhid = jnp.einsum("nc,rc->nr", da, w2f,
+                      preferred_element_type=jnp.float32)     # (N, R)
+    dhid = dhid[:, None, :] * (pre > 0)                       # (N, 2, R)
+    dpool = jnp.einsum("nbr,cr->nbc", dhid, w1f,
+                       preferred_element_type=jnp.float32)    # (N, 2, C)
+    dw1 = (jnp.einsum("nc,nr->cr", avg, dhid[:, 0])
+           + jnp.einsum("nc,nr->cr", mx32, dhid[:, 1]))
+    dw2 = jnp.einsum("nr,nc->rc", hid[:, 0] + hid[:, 1], da)
+    ymask = (y.astype(jnp.float32) == mx32[:, None, None, :]).astype(io)
+    ycnt = jnp.sum(ymask, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    dy = (dt * gate_c.astype(io)[:, None, None, :]
+          + (dpool[:, 0] / count).astype(io)[:, None, None, :]
+          + ymask * (dpool[:, 1][:, None, None, :] / ycnt).astype(io))
+
+    # InstanceNorm adjoint (layernorm-style analytic expression)
+    mg = jnp.sum(dy.astype(jnp.float32), axis=(1, 2),
+                 keepdims=True) / count
+    mgy = jnp.sum((dy * y).astype(jnp.float32), axis=(1, 2),
+                  keepdims=True) / count
+    dh = ((dy - mg.astype(io)) - y * mgy.astype(io)) * inv.astype(io)
+
+    dx = g
+    if x_pad:
+        dx = jnp.pad(g, ((0, 0), (x_pad, x_pad), (x_pad, x_pad), (0, 0)))
+    return (dh.astype(h.dtype), dx, dw1.astype(w1.dtype),
+            dw2.astype(w2.dtype), dwsa32.astype(wsa.dtype))
+
+
 def _xla_block_tail(h, x, w1, w2, wsa, eps, pad, x_pad=0):
     """Reference composition in plain XLA (CPU path + the VJP recompute)."""
     if x_pad:
@@ -416,21 +515,31 @@ def _fwd(h, x, w1, w2, wsa, eps, pad, x_pad):
             (h, x, w1, w2, wsa))
 
 
-# A/B switch for the hand-written two-pass Pallas tail backward
-# (block_tail_bwd_pallas). Measured on this toolchain it LOSES to XLA
-# autodiff of the composition — 0.931 vs 0.879 s/step on the batch-8 512^2
-# train step (docs/PERF.md): the two passes re-read h/g and re-derive y/t,
-# and the apply kernel carries ~64 MB of register spills. Kept (tested,
-# interpret-mode parity on every pad/x_pad combination) for re-A/B after
-# toolchain changes, like the forward kernels.
-_PALLAS_BWD = False
+# Backward implementation switch:
+#   "analytic" — hand-written adjoint chain (_analytic_tail_bwd): no
+#                scatter-add pad fold, io-dtype big tensors / fp32
+#                reductions, no autodiff bookkeeping. Round-3 default.
+#   "autodiff" — jax.vjp of the XLA composition (round-2 default; the
+#                scatter-add pad fold + fp32 recompute made it the single
+#                hottest op group in the train step: 4.94 ms/block vs
+#                0.44 ms forward, scripts/profile_trunk_bwd_micro.py).
+#   "pallas"   — two-pass Pallas backward (block_tail_bwd_pallas).
+#                Measured on this toolchain it LOSES to autodiff — 0.931
+#                vs 0.879 s/step on the batch-8 512^2 train step
+#                (docs/PERF.md): the two passes re-read h/g and re-derive
+#                y/t, and the apply kernel carries ~64 MB of register
+#                spills. Kept (tested, interpret-mode parity on every
+#                pad/x_pad combination) for re-A/B after toolchain changes.
+_BWD_IMPL = "analytic"
 
 
 def _bwd(eps, pad, x_pad, res, g):
     h, x, w1, w2, wsa = res
-    if _PALLAS_BWD and pallas_available():
+    if _BWD_IMPL == "pallas" and pallas_available():
         return block_tail_bwd_pallas(h, g, w1, w2, wsa, eps=eps, pad=pad,
                                      x_pad=x_pad)
+    if _BWD_IMPL == "analytic":
+        return _analytic_tail_bwd(h, w1, w2, wsa, g, eps, pad, x_pad)
     # unpadded-tail VJP + explicit pad adjoint keeps the recompute graph
     # free of the pad output (saves HBM in the backward)
     _, vjp = jax.vjp(

@@ -313,6 +313,67 @@ def test_block_tail_bwd_kernel_matches_autodiff(rng):
                     err_msg=f"{name} pad={pad} x_pad={x_pad}")
 
 
+def test_analytic_tail_bwd_matches_autodiff(rng):
+    """The hand-written adjoint chain (_analytic_tail_bwd — the training
+    default) must match jax.vjp of the XLA composition for every
+    (pad, x_pad) combination the trunk uses.
+
+    fp32: elementwise-tight. bf16: autodiff-of-the-composition is itself
+    noisy vs fp32 truth (max-pool tie flips at the bf16 rounding floor
+    produce isolated 0.5-relative outliers in dh), so the assertion is
+    error-profile parity: the analytic path's max and mean error vs the
+    fp32 ground truth must not exceed ~1.5x the bf16 autodiff's own."""
+    from ducosy_tpu.ops.pallas.cbam_block import (
+        _analytic_tail_bwd, _xla_block_tail)
+    from ducosy_tpu.ops.pallas.instance_norm import EPS, reflect_pad_adjoint
+
+    c = 128
+    names = ("dh", "dx", "dw1", "dw2", "dwsa")
+    h32 = rng.standard_normal((2, 12, 12, c)).astype(np.float32)
+    w1, w2, wsa = _tail_params(rng, c, r=8)
+    for pad in (0, 1):
+        for x_pad in (0, 1):
+            x32 = rng.standard_normal(
+                (2, 12 + 2 * x_pad, 12 + 2 * x_pad, c)).astype(np.float32)
+            g32 = rng.standard_normal(
+                (2, 12 + 2 * pad, 12 + 2 * pad, c)).astype(np.float32)
+
+            def autodiff(dt):
+                h, x, g = (jnp.asarray(h32, dt), jnp.asarray(x32, dt),
+                           jnp.asarray(g32, dt))
+                _, vjp = jax.vjp(
+                    lambda *a: _xla_block_tail(*a, EPS, 0, x_pad),
+                    h, x, w1, w2, wsa)
+                return vjp(reflect_pad_adjoint(g, pad).astype(g.dtype))
+
+            truth = autodiff(jnp.float32)
+
+            # fp32: elementwise parity with the composition's VJP
+            got32 = _analytic_tail_bwd(
+                jnp.asarray(h32), w1, w2, wsa, jnp.asarray(g32), EPS,
+                pad, x_pad)
+            for name, a, b in zip(names, got32, truth):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=2e-3,
+                    atol=2e-4 * max(1.0, float(jnp.max(jnp.abs(b)))),
+                    err_msg=f"{name} pad={pad} x_pad={x_pad} fp32")
+
+            # bf16: error-profile parity vs the fp32 truth
+            ad16 = autodiff(jnp.bfloat16)
+            got16 = _analytic_tail_bwd(
+                jnp.asarray(h32, jnp.bfloat16), w1, w2, wsa,
+                jnp.asarray(g32, jnp.bfloat16), EPS, pad, x_pad)
+            assert np.asarray(got16[0]).dtype == np.dtype(jnp.bfloat16)
+            for name, t, a, b in zip(names, truth, ad16, got16):
+                t, a, b = (np.asarray(v, np.float32) for v in (t, a, b))
+                sc = max(1.0, float(np.max(np.abs(t))))
+                err_ad = np.abs(a - t) / sc
+                err_an = np.abs(b - t) / sc
+                msg = f"{name} pad={pad} x_pad={x_pad} bf16"
+                assert err_an.max() <= max(1.5 * err_ad.max(), 0.02), msg
+                assert err_an.mean() <= max(1.5 * err_ad.mean(), 2e-4), msg
+
+
 def test_phase_grouped_interpret_matches_packed_in_relu(rng):
     """phases > 1: statistics pool over (H, W, phase groups) of a phase-
     major space-to-depth tensor — must match models/fused.packed_in_relu
