@@ -39,7 +39,7 @@ import time
 # pipeline compiles are reused across bench invocations (first run pays
 # them once; CI/driver reruns are fast)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax_bench"))
+                      os.path.expanduser("~/.cache/ducosy_tpu_xla"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 BASELINE_SLICES_PER_S = 1.0 / 0.15  # RTX 4090 midpoint of 0.1-0.2 s/slice

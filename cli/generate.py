@@ -281,6 +281,11 @@ def run_fast_pipeline(engine, args, patients, output_dir) -> int:
 
 def main(argv=None):
     args = parse_args(argv)
+    from ducosy_tpu.utils.compcache import enable_persistent_cache
+
+    # one generate.py process per batch is the reference workflow — reuse
+    # the compiled patient pipeline across processes
+    enable_persistent_cache()
     engine = load_engine(args)
     total = 0
     for dataset_name in args.dataset_names:

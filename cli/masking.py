@@ -13,7 +13,7 @@ import argparse
 import glob
 import os
 import sys
-from multiprocessing import Pool
+import multiprocessing
 
 import numpy as np
 
@@ -60,7 +60,11 @@ def generate(args):
                           os.path.join(mask, pid), args.device))
     print(f"segmenting {len(tasks)} patients "
           f"({args.batch_size} parallel workers)")
-    with Pool(args.batch_size, initializer=register_signal_handlers) as pool:
+    # spawn, not fork: workers start clean — fork after jax/XLA has
+    # initialized its thread pools is a documented deadlock risk
+    ctx = multiprocessing.get_context("spawn")
+    with ctx.Pool(args.batch_size,
+                  initializer=register_signal_handlers) as pool:
         for pid, ok, err in pool.imap_unordered(segment_patient, tasks):
             print(f"  {pid}: {'OK' if ok else f'FAILED — {err}'}")
 

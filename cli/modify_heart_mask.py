@@ -10,7 +10,7 @@ import argparse
 import glob
 import os
 import sys
-from multiprocessing import Pool
+import multiprocessing
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -43,7 +43,10 @@ def main(argv=None):
             name = os.path.basename(src)
             tasks.append((src, os.path.join(out_dir, name)))
     print(f"cleaning {len(tasks)} heart masks")
-    with Pool(args.num_workers) as pool:
+    # spawn start method: safe if jax was imported in this process (fork
+    # after XLA thread-pool init can deadlock), and matches the per-worker
+    # fresh-interpreter model of the reference's Pool usage
+    with multiprocessing.get_context("spawn").Pool(args.num_workers) as pool:
         for name in pool.imap_unordered(_worker, tasks):
             print(f"  done {name}")
 

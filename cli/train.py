@@ -51,6 +51,11 @@ def main(argv=None):
     args = parse_args(argv)
     from ducosy_tpu.config import ModelConfig, TrainConfig, replace
     from ducosy_tpu.train.loop import train_cycle_gan
+    from ducosy_tpu.utils.compcache import enable_persistent_cache
+
+    # restarted runs (per-range trainings, resumes, pod workers) reuse the
+    # compiled 512^2 train step instead of repaying the ~4 min compile
+    enable_persistent_cache()
 
     cfg = replace(
         TrainConfig(),

@@ -212,7 +212,15 @@ def calculate(data_dir: str, calc_output_dir: str,
     work = [(d, p, data_dir, detail_dir) for d, p in tasks]
     all_results: Dict[str, Dict[str, List[float]]] = {}
     if num_workers > 1:
-        with ProcessPoolExecutor(num_workers) as pool:
+        # spawn, not fork: the parent has initialized jax (metrics are
+        # jax-backed) and forking a multithreaded XLA runtime can
+        # deadlock; spawn also mirrors the reference's per-worker metric
+        # init (calculate.py:43-60,793)
+        import multiprocessing
+
+        with ProcessPoolExecutor(
+                num_workers,
+                mp_context=multiprocessing.get_context("spawn")) as pool:
             outs = list(pool.map(process_single_patient, work))
     else:
         outs = [process_single_patient(t) for t in work]

@@ -15,9 +15,11 @@ the NEXT block's ReflectionPad folded into the output write.
 The channel MLP (256->16->256) and the 7x7x2 spatial conv are tiny
 (<2 MFLOP/sample) and run on the MXU/VPU from VMEM/SMEM-resident weights.
 
-Gradients: custom VJP — Pallas forward, backward by XLA autodiff of the
-equivalent composition (the tail is cheap to rematerialize relative to the
-convs around it).
+Gradients: custom VJP — Pallas forward; backward selected by _BWD_IMPL
+(default "analytic": the hand-written adjoint chain _analytic_tail_bwd;
+"autodiff" = jax.vjp of the XLA composition; "pallas" = two-pass Pallas
+backward). The tail is cheap to rematerialize relative to the convs
+around it, so every backward recomputes from h.
 """
 from __future__ import annotations
 
@@ -367,7 +369,7 @@ def block_tail_bwd_pallas(h, g, w1, w2, wsa, *, eps: float = EPS,
     return dh, dx, dw1, dw2, dwsa_out
 
 
-def _analytic_tail_bwd(h, w1, w2, wsa, g, eps, pad, x_pad):
+def _analytic_tail_bwd(h, w1, w2, wsa, g, eps, pad, x_pad, x_dtype=None):
     """Hand-written analytic VJP of the tail composition (same math as
     jax.vjp(_xla_block_tail), incl. equal tie-splitting on both max-pool
     adjoints), engineered for TPU:
@@ -461,6 +463,8 @@ def _analytic_tail_bwd(h, w1, w2, wsa, g, eps, pad, x_pad):
     dx = g
     if x_pad:
         dx = jnp.pad(g, ((0, 0), (x_pad, x_pad), (x_pad, x_pad), (0, 0)))
+    # the cotangent for x must carry x's dtype (may differ from h's)
+    dx = dx.astype(x_dtype if x_dtype is not None else h.dtype)
     return (dh.astype(h.dtype), dx, dw1.astype(w1.dtype),
             dw2.astype(w2.dtype), dwsa32.astype(wsa.dtype))
 
@@ -501,9 +505,10 @@ def _xla_block_tail(h, x, w1, w2, wsa, eps, pad, x_pad=0):
 def block_tail_fused(h, x, w1, w2, wsa, eps: float = EPS, pad: int = 0,
                      x_pad: int = 0):
     """x + CBAM(InstanceNorm(h)), optionally reflect-padded — Pallas on
-    TPU, XLA elsewhere; differentiable (backward = XLA autodiff of the
-    composition). With x_pad=p the skip input arrives reflect-padded by p
-    and only its interior is used (zero gradient to the border)."""
+    TPU, XLA elsewhere; differentiable (backward per _BWD_IMPL, default
+    the hand-written analytic adjoint _analytic_tail_bwd). With x_pad=p
+    the skip input arrives reflect-padded by p and only its interior is
+    used (zero gradient to the border)."""
     if pallas_available():
         return block_tail_pallas(h, x, w1, w2, wsa, eps=eps, pad=pad,
                                  x_pad=x_pad)
@@ -539,7 +544,8 @@ def _bwd(eps, pad, x_pad, res, g):
         return block_tail_bwd_pallas(h, g, w1, w2, wsa, eps=eps, pad=pad,
                                      x_pad=x_pad)
     if _BWD_IMPL == "analytic":
-        return _analytic_tail_bwd(h, w1, w2, wsa, g, eps, pad, x_pad)
+        return _analytic_tail_bwd(h, w1, w2, wsa, g, eps, pad, x_pad,
+                                  x_dtype=x.dtype)
     # unpadded-tail VJP + explicit pad adjoint keeps the recompute graph
     # free of the pad output (saves HBM in the backward)
     _, vjp = jax.vjp(

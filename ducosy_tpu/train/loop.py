@@ -113,8 +113,22 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
     start_epoch = 0
     best = ckpt.BestTracker(saved_models_dir)
     if cfg.resume:
-        restored = ckpt.restore_checkpoint(
-            os.path.join(saved_models_dir, cfg.resume), state)
+        # a reference torch checkpoint (checkpoint.pth.tar, the all-in-one
+        # dict of trainer.py:580-596) migrates a mid-run training onto TPU
+        # with optimizer/scheduler/best state intact; an Orbax directory
+        # resumes one of OUR runs. Both accept a bare name under
+        # saved_models/ or a full path.
+        cand = cfg.resume if os.path.isabs(cfg.resume) or os.sep in \
+            cfg.resume else os.path.join(saved_models_dir, cfg.resume)
+        restored = None
+        if os.path.isfile(cand):
+            from ducosy_tpu.train.torch_resume import import_torch_checkpoint
+            restored = import_torch_checkpoint(
+                cand, state,
+                num_residual_blocks=model_cfg.num_residual_blocks)
+            print(f"=> imported torch training checkpoint {cand}")
+        else:
+            restored = ckpt.restore_checkpoint(cand, state)
         if restored is not None:
             state = restored
             start_epoch = int(state.epoch) + 1
@@ -122,8 +136,7 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
             best.best_epoch = int(state.best_epoch)
             print(f"=> resumed from epoch {start_epoch}")
         else:
-            print(f"=> no checkpoint at {saved_models_dir}/{cfg.resume}, "
-                  "training from scratch")
+            print(f"=> no checkpoint at {cand}, training from scratch")
 
     # ---- data (trainer.py:419-436)
     patients = list_patient_dirs(cfg.data_root, cfg.dataset_names)

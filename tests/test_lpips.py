@@ -7,6 +7,8 @@ and cross-check the JAX network against a from-scratch torch forward that
 follows the lpips package definition (scaling layer, AlexNet trunk,
 unit-normalized squared feature diffs, 1x1 heads, spatial mean, stage sum).
 """
+import os
+
 import numpy as np
 import pytest
 
@@ -94,6 +96,140 @@ def test_lpips_matches_torch_recompute(weights_file, rng):
         torch.from_numpy(norm(vol2)).double().unsqueeze(1))
     np.testing.assert_allclose(per_slice, gold, rtol=2e-3, atol=1e-5)
     assert mean_val == pytest.approx(float(gold.mean()), rel=2e-3)
+
+
+class _TorchLPIPSGraph(torch.nn.Module):
+    """The `lpips` package's module graph reconstructed with torch.nn,
+    mirroring lpips.LPIPS(net='alex', spatial=False).eval():
+
+      ScalingLayer (registered shift/scale buffers) -> torchvision-indexed
+      AlexNet `features` Sequential (relu taps after indices 1,4,7,9,11)
+      -> normalize_tensor(eps=1e-10) -> squared diffs -> NetLinLayer
+      (Dropout + 1x1 Conv bias=False; Dropout is identity in eval) ->
+      spatial_average -> sum over the five stages.
+
+    Structured this way (module-for-module, torchvision feature indices,
+    eval-mode dropout) so the comparison validates our JAX network against
+    the package's actual computation graph, not merely a convenient
+    functional rewrite. Reference consumer: /root/reference/calculate.py:
+    293-318 (lpips.LPIPS(net='alex') on [-1,1] 3-channel slices)."""
+
+    def __init__(self, sd):
+        super().__init__()
+        nn = torch.nn
+        self.register_buffer("shift", torch.tensor(
+            [-0.030, -0.088, -0.188]).view(1, 3, 1, 1))
+        self.register_buffer("scale", torch.tensor(
+            [0.458, 0.448, 0.450]).view(1, 3, 1, 1))
+        self.features = nn.Sequential(
+            nn.Conv2d(3, 64, 11, 4, 2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(64, 192, 5, 1, 2), nn.ReLU(inplace=True),
+            nn.MaxPool2d(3, 2),
+            nn.Conv2d(192, 384, 3, 1, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(384, 256, 3, 1, 1), nn.ReLU(inplace=True),
+            nn.Conv2d(256, 256, 3, 1, 1), nn.ReLU(inplace=True),
+            # torchvision's features has a MaxPool at index 12, but the
+            # lpips alexnet wrapper slices stop at index 11 — it is never
+            # executed, so it is omitted here
+        )
+        self.lins = nn.ModuleList()
+        for _, _, cout, *_r in _CONV_DEFS:
+            self.lins.append(nn.Sequential(
+                nn.Dropout(), nn.Conv2d(cout, 1, 1, bias=False)))
+        state = {f"features.{k.split('.', 1)[1]}": torch.as_tensor(v)
+                 for k, v in sd.items() if k.startswith("features.")}
+        for i in range(5):
+            state[f"lins.{i}.1.weight"] = torch.as_tensor(
+                sd[f"lin{i}.model.1.weight"])
+        self.load_state_dict(state, strict=False)
+        self.eval()
+
+    _TAPS = (1, 4, 7, 9, 11)  # relu1_1..relu5_1 in torchvision indexing
+
+    def _feats(self, x):
+        h = (x - self.shift) / self.scale
+        outs = []
+        for idx, layer in enumerate(self.features):
+            h = layer(h)
+            if idx in self._TAPS:
+                outs.append(h)
+        return outs
+
+    @staticmethod
+    def _unit(x):
+        return x / (x.pow(2).sum(dim=1, keepdim=True).sqrt() + 1e-10)
+
+    def forward(self, in0, in1):
+        val = 0.0
+        for lin, f0, f1 in zip(self.lins, self._feats(in0),
+                               self._feats(in1)):
+            d = (self._unit(f0) - self._unit(f1)).pow(2)
+            val = val + lin(d).mean(dim=(2, 3), keepdim=True)
+        return val.flatten()
+
+
+def test_lpips_matches_package_module_graph(weights_file, rng):
+    """JAX LPIPS vs the lpips-package module graph (float64 gold), on an
+    odd-sized batch-3 input — stride/pool arithmetic included."""
+    from tests.lpips_golden import golden_state_dict
+
+    sd = golden_state_dict()
+    graph = _TorchLPIPSGraph(sd).double()
+    x0 = rng.uniform(-1, 1, (3, 77, 61)).astype(np.float32)
+    x1 = np.clip(x0 + rng.normal(0, 0.2, x0.shape), -1, 1) \
+        .astype(np.float32)
+    with torch.no_grad():
+        gold = graph(torch.from_numpy(x0).double().unsqueeze(1)
+                     .repeat(1, 3, 1, 1),
+                     torch.from_numpy(x1).double().unsqueeze(1)
+                     .repeat(1, 3, 1, 1)).numpy()
+
+    import tempfile
+
+    from ducosy_tpu.eval.lpips import _lpips_forward
+    import jax.numpy as jnp
+
+    with tempfile.TemporaryDirectory() as td:
+        path = f"{td}/w.pth"
+        torch.save({k: torch.as_tensor(v) for k, v in sd.items()}, path)
+        params = {k: jnp.asarray(v)
+                  for k, v in load_lpips_weights(path).items()}
+    got = np.asarray(_lpips_forward(
+        params, jnp.asarray(x0)[..., None], jnp.asarray(x1)[..., None]))
+    np.testing.assert_allclose(got, gold, rtol=2e-4, atol=1e-7)
+
+
+def test_lpips_golden_fixture():
+    """Torch-free golden parity: the committed fixture holds per-slice
+    distances computed by the lpips-package module graph in float64 on
+    deterministically generated weights+volumes; the JAX wrapper must
+    reproduce them (full reference semantics: per-volume min-max to
+    [-1,1], grey->RGB, per-slice distances — calculate.py:296-312)."""
+    import tempfile
+
+    from tests.lpips_golden import (FIXTURE, golden_state_dict,
+                                    golden_volumes)
+
+    if not os.path.isfile(FIXTURE):
+        pytest.skip("golden fixture not generated "
+                    "(scripts/make_lpips_golden.py)")
+    with np.load(FIXTURE) as data:
+        expected = data["per_slice"]
+
+    sd = golden_state_dict()
+    v1, v2 = golden_volumes()
+    with tempfile.TemporaryDirectory() as td:
+        # torch-free path: convert the numpy state dict via the npz layout
+        path = f"{td}/w.npz"
+        flat = dict(sd)
+        for i in range(5):
+            flat[f"lin{i}"] = sd[f"lin{i}.model.1.weight"].reshape(-1)
+        np.savez(path, **flat)
+        model = LPIPSAlex(path)
+    mean_val, per = model(v1, v2)
+    np.testing.assert_allclose(per, expected, rtol=2e-4, atol=1e-7)
+    assert mean_val == pytest.approx(float(expected.mean()), rel=2e-4)
 
 
 def test_lpips_identity_is_zero(weights_file, rng):
