@@ -181,17 +181,22 @@ class DualGeneratorEngine:
         # scripts/ab_mono.py: 111.9 -> 115.5 slices/s over mega,
         # bit-identical output; mega itself was +11% over conv-outside
         # and CLOSER to fp32 truth — scripts/check_mega_fidelity.py).
-        # The quant modes stay on mega — the tail kernel's nine conv
-        # taps run int8 on the MXU with the IN stats taken off the int32
-        # accumulator (scripts/ab_mega_int8.py: trunk 103.6 -> 120.1,
-        # full -> 132.0 slices/s, fidelity slightly BETTER than the
-        # non-mega int8 path) — pending a mono-quant A/B
-        # (scripts/ab_mono.py quant). generator_apply_packed's own
-        # "auto" stays "pallas" (differentiable) for training.
+        # Quant modes resolve to chain3 (3 residual blocks per
+        # pallas_call): the round-4 hardware A/B (scripts/ab_mono.py
+        # quant, docs/PERF.md) measured trunk-int8 mega 120.2 -> mono
+        # 123.3 -> chain3 127.5 slices/s and full-int8 mega 132.2 ->
+        # chain3 141.7, all bit-identical within each quant mode — the
+        # int8 taps and int32-accumulator IN stats are the same math in
+        # every fused trunk, chaining just amortizes kernel dispatch.
+        # generator_apply_packed's own "auto" stays "pallas"
+        # (differentiable) for training.
         if trunk == "auto" and forward == "packed":
             from ducosy_tpu.ops.pallas import pallas_available
             if pallas_available():
-                trunk = "mega" if quant else "mono"
+                gens = ([self.generator] if not self.use_masks else
+                        [self.st_generator, self.lung_generator])
+                min_blocks = min(g.num_residual_blocks for g in gens)
+                trunk = "chain3" if (quant and min_blocks >= 3) else "mono"
         elif trunk != "auto":
             # same rule as quant above: never serve (or A/B) a silently
             # different configuration — an explicit trunk needs the packed

@@ -483,20 +483,29 @@ def test_spatial_mesh_rejects_pallas_modes(rng):
 
 def test_trunk_auto_resolution(monkeypatch):
     """trunk='auto' picks the fused inference kernels per quant mode:
-    mono (whole-block kernel) for bf16 serving, mega for the quant modes
-    (the int8 tap path lives in the two-kernel pipeline) — and stays
-    un-resolved off the packed forward (engine.py trunk selection)."""
+    mono (whole-block kernel) for bf16 serving, chain3 for the quant
+    modes (round-4 hardware A/B, docs/PERF.md — falls back to mono for
+    trunks shorter than a chain) — and stays un-resolved off the packed
+    forward (engine.py trunk selection)."""
     import ducosy_tpu.ops.pallas as pk
+    monkeypatch.setattr(pk, "pallas_available", lambda: True)
+
+    def mk(blocks, **kw):
+        mcfg = ModelConfig(num_residual_blocks=blocks)
+        gen = Generator(input_channels=1, num_residual_blocks=blocks)
+        p = gen.init(jax.random.PRNGKey(0),
+                     jnp.zeros((1, 32, 32, 1)))["params"]
+        return DualGeneratorEngine(p, p, model_cfg=mcfg, img_size=32,
+                                   forward="packed", **kw)
+
+    assert mk(1).trunk == "mono"
+    assert mk(3, quant="trunk").trunk == "chain3"
+    assert mk(3, quant="full").trunk == "chain3"
+    assert mk(1, quant="trunk").trunk == "mono"  # too short to chain
+    assert mk(1, trunk="xla").trunk == "xla"
     mcfg = ModelConfig(num_residual_blocks=1)
     gen = Generator(input_channels=1, num_residual_blocks=1)
     p1 = gen.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1)))["params"]
-    monkeypatch.setattr(pk, "pallas_available", lambda: True)
-    mk = lambda **kw: DualGeneratorEngine(  # noqa: E731
-        p1, p1, model_cfg=mcfg, img_size=32, forward="packed", **kw)
-    assert mk().trunk == "mono"
-    assert mk(quant="trunk").trunk == "mega"
-    assert mk(quant="full").trunk == "mega"
-    assert mk(trunk="xla").trunk == "xla"
     module_eng = DualGeneratorEngine(p1, p1, model_cfg=mcfg, img_size=32,
                                      forward="module")
     assert module_eng.trunk == "auto"
