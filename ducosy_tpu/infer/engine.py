@@ -177,17 +177,18 @@ class DualGeneratorEngine:
         # Pallas kernels (conv_in.py), "mono" fuses the WHOLE residual
         # block into one kernel (the intermediate never leaves VMEM).
         # Inference has no backward pass, so "auto" resolves to the
-        # inference-only fused kernels here: mono for bf16 (engine A/B
-        # scripts/ab_mono.py: 111.9 -> 115.5 slices/s over mega,
-        # bit-identical output; mega itself was +11% over conv-outside
-        # and CLOSER to fp32 truth — scripts/check_mega_fidelity.py).
-        # Quant modes resolve to chain3 (3 residual blocks per
-        # pallas_call): the round-4 hardware A/B (scripts/ab_mono.py
-        # quant, docs/PERF.md) measured trunk-int8 mega 120.2 -> mono
-        # 123.3 -> chain3 127.5 slices/s and full-int8 mega 132.2 ->
-        # chain3 141.7, all bit-identical within each quant mode — the
-        # int8 taps and int32-accumulator IN stats are the same math in
-        # every fused trunk, chaining just amortizes kernel dispatch.
+        # inference-only fused kernels: chain3 (3 residual blocks per
+        # pallas_call — the carry never leaves VMEM inside a chain). The
+        # round-4 hardware A/B (scripts/ab_mono.py, docs/PERF.md):
+        #   bf16       mega 111.0 -> mono 115.2 -> chain3 117.7 slices/s
+        #   trunk-int8 mega 120.2 -> mono 123.3 -> chain3 127.5
+        #   full-int8  mega 132.2 ->               chain3 141.7
+        # all bit-identical within each mode — the conv taps, CBAM gates
+        # and (for quant) int32-accumulator IN stats are the same math in
+        # every fused trunk; chaining amortizes kernel dispatch. chain9
+        # (whole trunk, one kernel) is a Mosaic compile bomb (>45 min,
+        # abandoned — same lesson as the round-2 monolithic backward).
+        # Falls back to mono for checkpoints shorter than a chain.
         # generator_apply_packed's own "auto" stays "pallas"
         # (differentiable) for training.
         if trunk == "auto" and forward == "packed":
@@ -196,7 +197,7 @@ class DualGeneratorEngine:
                 gens = ([self.generator] if not self.use_masks else
                         [self.st_generator, self.lung_generator])
                 min_blocks = min(g.num_residual_blocks for g in gens)
-                trunk = "chain3" if (quant and min_blocks >= 3) else "mono"
+                trunk = "chain3" if min_blocks >= 3 else "mono"
         elif trunk != "auto":
             # same rule as quant above: never serve (or A/B) a silently
             # different configuration — an explicit trunk needs the packed

@@ -482,11 +482,11 @@ def test_spatial_mesh_rejects_pallas_modes(rng):
 
 
 def test_trunk_auto_resolution(monkeypatch):
-    """trunk='auto' picks the fused inference kernels per quant mode:
-    mono (whole-block kernel) for bf16 serving, chain3 for the quant
-    modes (round-4 hardware A/B, docs/PERF.md — falls back to mono for
-    trunks shorter than a chain) — and stays un-resolved off the packed
-    forward (engine.py trunk selection)."""
+    """trunk='auto' picks the fused inference kernels: chain3 for every
+    serving mode (round-4 hardware A/B, docs/PERF.md — bf16 and both
+    quant modes; falls back to mono for trunks shorter than a chain) —
+    and stays un-resolved off the packed forward (engine.py trunk
+    selection)."""
     import ducosy_tpu.ops.pallas as pk
     monkeypatch.setattr(pk, "pallas_available", lambda: True)
 
@@ -498,10 +498,11 @@ def test_trunk_auto_resolution(monkeypatch):
         return DualGeneratorEngine(p, p, model_cfg=mcfg, img_size=32,
                                    forward="packed", **kw)
 
-    assert mk(1).trunk == "mono"
+    assert mk(3).trunk == "chain3"
+    assert mk(1).trunk == "mono"  # too short to chain
     assert mk(3, quant="trunk").trunk == "chain3"
     assert mk(3, quant="full").trunk == "chain3"
-    assert mk(1, quant="trunk").trunk == "mono"  # too short to chain
+    assert mk(1, quant="trunk").trunk == "mono"
     assert mk(1, trunk="xla").trunk == "xla"
     mcfg = ModelConfig(num_residual_blocks=1)
     gen = Generator(input_channels=1, num_residual_blocks=1)
