@@ -17,7 +17,7 @@ import sys
 ARM = r"""
 import os, time, json
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/jax_bench"))
+                      os.path.expanduser("~/.cache/ducosy_tpu_xla"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 import jax, jax.numpy as jnp, numpy as np
 from ducosy_tpu.config import ModelConfig, SOFT_TISSUE, TrainConfig, replace
