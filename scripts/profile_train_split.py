@@ -14,8 +14,10 @@ are a decomposition guide, not a partition. Reference hot loop being
 out-scaled: /root/reference/modules/trainer.py:447-531.
 """
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/ducosy_tpu_xla"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
@@ -109,12 +111,27 @@ def main():
             cfg=cfg, sample_weight=None)
         return terms.total, (fa, fb)
 
-    g_vag = jax.jit(lambda gp, pda, pdb, a, b, m: jax.value_and_grad(
-        g_loss, has_aux=True)(gp, pda, pdb, a, b, m)[0][0])
+    # the grads MUST be returned (not just the loss value): returning only
+    # loss lets XLA dead-code-eliminate the entire backward pass — the
+    # round-4 first run measured 253 ms here (= forwards + loss) until the
+    # full-step subtraction exposed it
+    def _vag(gp_, pda, pdb, a, b, m):
+        (loss, _aux), grads = jax.value_and_grad(g_loss, has_aux=True)(
+            gp_, pda, pdb, a, b, m)
+        return loss, grads
+
+    g_vag = jax.jit(_vag)
     gp = {"a2b": state.params_g_a2b, "b2a": state.params_g_b2a}
+
+    def _sync_vag(out):
+        loss, grads = out
+        float(loss)
+        return float(jnp.sum(jax.tree_util.tree_leaves(
+            grads)[0].ravel()[:1]))
+
     res["g_vag"] = timeit(
         g_vag, gp, state.params_d_a, state.params_d_b,
-        batch["a"], batch["b"], batch["masks"], sync=lambda x: float(x),
+        batch["a"], batch["b"], batch["masks"], sync=_sync_vag,
         name="g_vag")
 
     # discriminator step on fixed fakes
