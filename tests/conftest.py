@@ -15,6 +15,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# The persistent compilation cache must stay OFF in the suite: the CLI
+# smoke tests run entry-point mains in-process, whose
+# enable_persistent_cache() would otherwise flip the global jax config
+# for every later test — and this jaxlib SEGFAULTS inside
+# compilation_cache.put_executable_and_time on some CPU executables
+# (observed at test_packed_train_step_matches_module, round 4). The
+# helper honors this env switch.
+os.environ["DUCOSY_XLA_CACHE_DIR"] = "off"
 
 import jax  # noqa: E402
 
