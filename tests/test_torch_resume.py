@@ -270,6 +270,77 @@ def test_import_maps_weights_moments_and_bookkeeping(trained_checkpoint):
         pytest.approx(got_lr)
 
 
+def test_import_handles_module_prefix_and_sparse_opt_state(torch_env,
+                                                           tmp_path):
+    """DataParallel-style 'module.'-prefixed state dicts load (the
+    reference strips them both directions, trainer.py:381-387), and
+    parameters the optimizer never touched fall back to zero moments."""
+    import torch
+    _t, TG, TD, _losses = torch_env
+    torch.manual_seed(1)
+    G_A2B, G_B2A = TG(1, R_BLOCKS), TG(1, R_BLOCKS)
+    D_A, D_B = TD(), TD()
+
+    def prefixed(m):
+        return {f"module.{k}": v for k, v in m.state_dict().items()}
+
+    opt_g = torch.optim.Adam(
+        list(G_A2B.parameters()) + list(G_B2A.parameters()), lr=LR,
+        betas=(0.5, 0.999))
+    # touch only the FIRST generator's params: B2A slots stay stateless
+    loss = G_A2B(torch.randn(1, 1, IMG, IMG)).mean()
+    opt_g.zero_grad()
+    loss.backward()
+    opt_g.step()
+    ckpt = {
+        "epoch": 0,
+        "G_A2B_state_dict": prefixed(G_A2B),
+        "G_B2A_state_dict": prefixed(G_B2A),
+        "D_A_state_dict": prefixed(D_A),
+        "D_B_state_dict": prefixed(D_B),
+        "optimizer_G_state_dict": opt_g.state_dict(),
+    }
+    path = tmp_path / "checkpoint.pth.tar"
+    torch.save(ckpt, str(path))
+
+    _cfg, template, gen, _d = _make_template()
+    state = import_torch_checkpoint(str(path), template,
+                                    num_residual_blocks=R_BLOCKS)
+    # weights landed despite the prefix. NOTE: the probe input must be
+    # non-constant — a constant image has zero variance at every
+    # InstanceNorm, whose output is then amplified rounding noise
+    # (1/sqrt(eps) gain), diverging across backends by construction.
+    x = np.random.default_rng(9).uniform(
+        -1, 1, (1, 1, IMG, IMG)).astype(np.float32)
+    with torch.no_grad():
+        want = G_A2B(torch.from_numpy(x)).numpy()
+    got = np.asarray(gen.apply({"params": state.params_g_a2b},
+                               jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got.transpose(0, 3, 1, 2), want,
+                               rtol=2e-4, atol=2e-5)
+    adam = state.opt_g.inner_state[0]
+    # A2B moments non-trivial, untouched B2A moments exactly zero
+    assert any(float(jnp.abs(l).max()) > 0
+               for l in jax.tree_util.tree_leaves(adam.mu["a2b"]))
+    assert all(float(jnp.abs(l).max()) == 0.0
+               for l in jax.tree_util.tree_leaves(adam.mu["b2a"]))
+    # discriminator optimizers absent from the dict -> fresh template state
+    assert int(state.opt_d_a.inner_state[0].count) == 0
+
+
+def test_import_rejects_generator_only_pth(torch_env, tmp_path):
+    """A bare generator .pth is not a training checkpoint — the error
+    points at models/torch_import instead of failing obscurely."""
+    import torch
+    _t, TG, _TD, _losses = torch_env
+    path = tmp_path / "G_A2B_last.pth"
+    torch.save(TG(1, R_BLOCKS).state_dict(), str(path))
+    _cfg, template, _g, _d = _make_template()
+    with pytest.raises(KeyError, match="torch_import"):
+        import_torch_checkpoint(str(path), template,
+                                num_residual_blocks=R_BLOCKS)
+
+
 def test_resume_continuity_one_step(trained_checkpoint):
     """Step 4 on both frameworks from the imported state: loss_G, loss_D
     and the post-step generator parameters must match (fp32)."""
