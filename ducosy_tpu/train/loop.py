@@ -120,6 +120,13 @@ def train_cycle_gan(cfg: TrainConfig, target_range: str,
         # saved_models/ or a full path.
         cand = cfg.resume if os.path.isabs(cfg.resume) or os.sep in \
             cfg.resume else os.path.join(saved_models_dir, cfg.resume)
+        if not os.path.exists(cand) and not os.path.isabs(cfg.resume):
+            # relative names containing a separator (e.g. run1/epoch_5)
+            # resolve against CWD first; fall back to saved_models_dir so
+            # an existing checkpoint there isn't silently skipped
+            alt = os.path.join(saved_models_dir, cfg.resume)
+            if os.path.exists(alt):
+                cand = alt
         restored = None
         if os.path.isfile(cand):
             from ducosy_tpu.train.torch_resume import import_torch_checkpoint

@@ -123,7 +123,14 @@ def import_torch_checkpoint(path: str, template: CycleGANState,
     """
     import torch
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        # the reference format embeds an argparse Namespace under 'args'
+        # (trainer.py:580-596), which the safe loader rejects. Falling back
+        # to a full unpickle executes arbitrary code from the file — only
+        # resume from checkpoints you trust.
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     required = ("G_A2B_state_dict", "G_B2A_state_dict",
                 "D_A_state_dict", "D_B_state_dict")
     missing = [k for k in required if k not in ckpt]

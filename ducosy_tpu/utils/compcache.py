@@ -22,11 +22,24 @@ DEFAULT_DIR = "~/.cache/ducosy_tpu_xla"
 
 def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
     """Point JAX at a persistent on-disk compilation cache; returns the
-    directory used (None when disabled)."""
-    cache_dir = cache_dir or os.environ.get("DUCOSY_XLA_CACHE_DIR") \
-        or DEFAULT_DIR
+    directory used (None when disabled).
+
+    By default the cache is only enabled on accelerator backends: some
+    jaxlib builds segfault in compilation_cache.put_executable_and_time
+    while serializing certain CPU executables (see tests/conftest.py), and
+    CPU programs compile fast enough not to need it. An explicit
+    DUCOSY_XLA_CACHE_DIR (or cache_dir argument) overrides the gate for
+    users who know their jaxlib is good.
+    """
+    explicit = cache_dir or os.environ.get("DUCOSY_XLA_CACHE_DIR")
+    cache_dir = explicit or DEFAULT_DIR
     if cache_dir.lower() in ("off", "none", "0", ""):
         return None
+    if not explicit:
+        import jax
+
+        if jax.default_backend() == "cpu":
+            return None
     cache_dir = os.path.expanduser(cache_dir)
     try:
         os.makedirs(cache_dir, exist_ok=True)
