@@ -14,8 +14,12 @@ needs:
   - numpy pixel decode/encode for 8/16-bit mono images, signed or unsigned
     (PixelRepresentation), with RescaleSlope/Intercept left to callers.
 
-Compressed transfer syntaxes raise; they are out of scope exactly as in the
-reference (whose datasets are uncompressed CT exports).
+Compressed lossless syntaxes decode natively: RLE Lossless
+(1.2.840.10008.1.2.5) and JPEG Lossless SV1 (1.2.840.10008.1.2.4.70) — the
+two syntaxes the reference handles through its python-rle / pylibjpeg
+wheels (/root/reference/requirements.txt) that actually occur in lossless
+CT archives (see ducosy_tpu/dicom/compressed.py). Lossy families (JPEG
+baseline, J2K) raise with a clear message.
 
 An optional C++ fast path for bulk parsing lives in ducosy_tpu/dicom/native.py.
 """
@@ -30,6 +34,12 @@ import numpy as np
 
 IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+# encapsulated syntaxes this codec decodes itself (the reference gets the
+# same coverage from the python-rle / pylibjpeg wheels it installs —
+# /root/reference/requirements.txt); lossy families stay rejected
+_ENCAPSULATED = (RLE_LOSSLESS, JPEG_LOSSLESS_SV1)
 _SUPPORTED = (IMPLICIT_VR_LE, EXPLICIT_VR_LE)
 
 # VRs with 4-byte lengths (and a 2-byte reserved field) in explicit VR
@@ -298,9 +308,42 @@ class Dataset:
             dtype = np.int8 if signed else np.uint8
         else:
             raise ValueError(f"unsupported BitsAllocated={bits}")
+        if self.transfer_syntax_uid in _ENCAPSULATED:
+            return self._decode_encapsulated(el.raw, rows, cols, bits,
+                                             dtype)
         n = rows * cols
         arr = np.frombuffer(el.raw, dtype=dtype, count=n)
         return arr.reshape(rows, cols)
+
+    def _decode_encapsulated(self, raw: bytes, rows: int, cols: int,
+                             bits: int, dtype) -> np.ndarray:
+        from ducosy_tpu.dicom import compressed as _c
+
+        nframes = int(self.get("NumberOfFrames", 1) or 1)
+        if nframes != 1:
+            raise NotImplementedError(
+                f"multi-frame compressed PixelData (NumberOfFrames="
+                f"{nframes}) is out of scope for single-slice CT series")
+        _offsets, fragments = _c.parse_encapsulated(raw)
+        if self.transfer_syntax_uid == RLE_LOSSLESS:
+            if len(fragments) != 1:
+                # PS3.5 G.1: RLE requires exactly one fragment per frame
+                raise ValueError(
+                    f"RLE frame split across {len(fragments)} fragments")
+            arr = _c.rle_decode_frame(fragments[0], rows, cols, bits)
+        else:  # JPEG Lossless SV1; a frame may span several fragments
+            arr, precision = _c.jpeg_sv1_decode(b"".join(fragments))
+            if precision > bits:
+                raise ValueError(
+                    f"JPEG precision {precision} exceeds BitsAllocated="
+                    f"{bits}")
+            if bits == 8:
+                arr = arr.astype(np.uint8)
+        if arr.shape != (rows, cols):
+            raise ValueError(
+                f"compressed frame decodes to {arr.shape}, but "
+                f"Rows/Columns say {(rows, cols)}")
+        return arr.view(dtype)
 
     def set_pixel_array(self, arr: np.ndarray):
         """Replace PixelData and geometry tags from a 2-D numpy array."""
@@ -442,11 +485,18 @@ def dcmread(path_or_bytes, *, stop_before_pixels: bool = False) -> Dataset:
             ds.file_meta.set_raw(el.tag, el.vr, el.raw)
 
         tsu = ds.file_meta.get("TransferSyntaxUID", EXPLICIT_VR_LE)
-        if tsu not in _SUPPORTED:
+        if tsu not in _SUPPORTED and tsu not in _ENCAPSULATED:
+            hint = ("lossy/unsupported compression"
+                    if tsu.startswith("1.2.840.10008.1.2.4")
+                    or tsu.startswith("1.2.840.10008.1.2.5") else
+                    "unsupported")
             raise NotImplementedError(
-                f"transfer syntax {tsu} unsupported (compressed?)")
+                f"transfer syntax {tsu} ({hint}); this codec reads "
+                f"uncompressed LE, RLE Lossless ({RLE_LOSSLESS}) and "
+                f"JPEG Lossless SV1 ({JPEG_LOSSLESS_SV1})")
         ds.transfer_syntax_uid = tsu
-        _read_dataset(f, ds, explicit=(tsu == EXPLICIT_VR_LE),
+        # encapsulated syntaxes always carry an Explicit VR LE dataset
+        _read_dataset(f, ds, explicit=(tsu != IMPLICIT_VR_LE),
                       stop_before_pixels=stop_before_pixels)
         return ds
     finally:
@@ -494,8 +544,37 @@ def _write_element(out, el: Element, *, explicit: bool):
     out.write(raw)
 
 
-def dcmwrite(path: str, ds: Dataset):
-    """Write Explicit VR LE Part-10 file with regenerated meta group."""
+def dcmwrite(path: str, ds: Dataset, *, transfer_syntax: str | None = None):
+    """Write a Part-10 file with regenerated meta group.
+
+    Default output is plain Explicit VR LE: datasets read from an
+    encapsulated (RLE / JPEG Lossless) file are decompressed on write —
+    the same normalization the reference pipeline applies when rewriting
+    series (masking.py forces ExplicitVRLittleEndian on save).  Pass
+    transfer_syntax=RLE_LOSSLESS or JPEG_LOSSLESS_SV1 to write the pixel
+    data compressed (encapsulated) instead."""
+    out_tsu = transfer_syntax or EXPLICIT_VR_LE
+    if out_tsu not in (EXPLICIT_VR_LE,) + _ENCAPSULATED:
+        raise NotImplementedError(
+            f"cannot write transfer syntax {out_tsu}")
+    pixel_tag = (0x7FE0, 0x0010)
+    if pixel_tag in ds._elements and (
+            ds.transfer_syntax_uid in _ENCAPSULATED
+            or out_tsu in _ENCAPSULATED):
+        from ducosy_tpu.dicom import compressed as _c
+
+        arr = ds.pixel_array  # decodes if the source was encapsulated
+        ds = ds.copy()
+        if out_tsu == RLE_LOSSLESS:
+            frag = _c.rle_encode_frame(arr)
+            ds.set_raw(pixel_tag, "OB", _c.encapsulate([frag]))
+        elif out_tsu == JPEG_LOSSLESS_SV1:
+            bits = int(ds.get("BitsAllocated", 16))
+            frag = _c.jpeg_sv1_encode(arr, precision=bits)
+            ds.set_raw(pixel_tag, "OB", _c.encapsulate([frag]))
+        else:
+            ds.set_raw(pixel_tag, "OW", arr.tobytes())
+        ds.transfer_syntax_uid = out_tsu
     meta = ds.file_meta.copy()
     meta.set((0x0002, 0x0001), "OB", b"\x00\x01")
     if (0x0002, 0x0002) not in dict.fromkeys(meta._elements):
@@ -504,7 +583,7 @@ def dcmwrite(path: str, ds: Dataset):
     sop_inst = ds.get("SOPInstanceUID")
     if sop_inst:
         meta.set((0x0002, 0x0003), "UI", sop_inst)
-    meta.set((0x0002, 0x0010), "UI", EXPLICIT_VR_LE)
+    meta.set((0x0002, 0x0010), "UI", out_tsu)
     meta.set((0x0002, 0x0012), "UI", _IMPLEMENTATION_UID)
     meta.set((0x0002, 0x0013), "SH", "DUCOSY_TPU")
 
@@ -523,6 +602,15 @@ def dcmwrite(path: str, ds: Dataset):
                    explicit=True)
     out.write(meta_bytes)
     for tag in sorted(ds._elements):
+        if tag == pixel_tag and out_tsu in _ENCAPSULATED:
+            # encapsulated PixelData: OB with undefined length; the raw
+            # value already carries the item framing + sequence delimiter
+            el = ds._elements[tag]
+            out.write(struct.pack("<HH", *tag))
+            out.write(b"OB\x00\x00")
+            out.write(struct.pack("<I", _UNDEFINED))
+            out.write(el.raw)
+            continue
         _write_element(out, ds._elements[tag], explicit=True)
 
     tmp = f"{path}.tmp.{os.getpid()}"

@@ -107,7 +107,12 @@ def read_slice_any(path: str, *, pixels: bool = True):
     """Native fast path with pure-Python fallback; returns an object with
     SliceInfo's fields either way."""
     if available():
-        return read_slice(path, pixels=pixels)
+        try:
+            return read_slice(path, pixels=pixels)
+        except NotImplementedError:
+            # compressed transfer syntax (native status 2): the Python
+            # codec decodes RLE Lossless / JPEG Lossless SV1 itself
+            pass
     from ducosy_tpu.dicom.codec import dcmread
 
     ds = dcmread(path, stop_before_pixels=not pixels)
