@@ -12,6 +12,16 @@ volume postprocess — end-to-end INCLUDING host<->device transfers
 (matching the reference's per-slice timing, which includes PCIe), with
 patients pipelined so upload/compute/download overlap.
 
+WALL-CLOCK BUDGET: the driver kills this process at 30:00 (BENCH_r04 died
+rc=124 there). A global budget (BENCH_BUDGET_S, default 1380 s measured
+from interpreter start) guards every section after the headline: a section
+whose estimated cost would bust the budget is skipped with
+{"skipped": "budget"} instead of run, so the headline JSON always prints.
+Cold TPU compiles through this harness take 2-10+ min each and are NOT
+persistently cached, so the expensive programs are overlapped: the
+training-step compile runs in a subprocess and the int8 pipeline warms in
+a thread, both concurrent with the main engine's warmup / join phase.
+
 Prints exactly one JSON line. Secondary records ride as extra keys:
   breakdown.compute_slices_per_s  — device-resident pipeline rate, MEDIAN of
                                     BENCH_ROUNDS rounds (min/max disclosed)
@@ -26,18 +36,36 @@ Prints exactly one JSON line. Secondary records ride as extra keys:
   quant — int8 serving gate: throughput AND output fidelity (mean/p99 |dHU|
           vs the bf16 engine on a structured phantom volume, reference-init
           N(0,0.02) weights) so a quant-path regression fails loudly here
-(env: BENCH_SLICES, BENCH_CHUNK, BENCH_REPEATS, BENCH_ROUNDS, BENCH_TRAIN=0 /
-BENCH_LOADER=0 / BENCH_QUANT=0 to skip sections, BENCH_TRAIN_BUDGET_S).
+(env: BENCH_SLICES, BENCH_CHUNK, BENCH_REPEATS, BENCH_ROUNDS, BENCH_TRUNK,
+BENCH_BUDGET_S, BENCH_TRAIN=0 / BENCH_LOADER=0 / BENCH_QUANT=0 to skip
+sections, BENCH_TRAIN_BUDGET_S).
 """
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
-# persistent compilation cache: the heavy 512^2 train-step and patient
-# pipeline compiles are reused across bench invocations (first run pays
-# them once; CI/driver reruns are fast)
+T0 = time.monotonic()  # budget epoch: as close to interpreter start as we get
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+
+def remaining() -> float:
+    return BUDGET_S - (time.monotonic() - T0)
+
+
+def mark(msg: str) -> None:
+    """Timestamped breadcrumb on stderr (stdout carries only the JSON line);
+    when the driver kills an over-budget run, the tail shows where time
+    went — BENCH_r04's rc=124 left no trace of which compile overran."""
+    print(f"[bench +{time.monotonic() - T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+# persistent compilation cache: reused across bench invocations for CPU
+# programs (the axon tunnel compiles TPU executables server-side and
+# bypasses this cache, so cold TPU runs must fit the budget regardless)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/ducosy_tpu_xla"))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
@@ -71,12 +99,14 @@ batch = {
 # ~100 MB from the HBM ceiling on this toolchain. A compile-time OOM (the
 # usual failure) never touches the donated buffers; recreate the state
 # anyway so an execution-time OOM can't poison the retry either.
+remat = False
 step = make_train_step(gen, disc, cfg, remat=False,
                        gen_forward="packed")
 try:
     state, m = step(state, batch)
     jax.block_until_ready(state.params_g_a2b)
 except Exception:  # OOM without remat -> remat'd step (cfg remat auto)
+    remat = True
     state, gen, disc = create_state(jax.random.PRNGKey(0), cfg, SOFT_TISSUE,
                                     ModelConfig(), img_size=512)
     step = make_train_step(gen, disc, cfg, remat=True,
@@ -100,6 +130,7 @@ print("TRAIN_JSON " + json.dumps({
     "sec_per_step": round(dt, 3),
     "sec_per_step_rounds": [round(r, 3) for r in rounds],
     "samples_measured": n * n_rounds,
+    "remat": remat,
 }))
 """
     env = dict(os.environ)  # inherit platform pins, site paths, cache dir
@@ -111,7 +142,7 @@ print("TRAIN_JSON " + json.dumps({
 
 def join_training_measure(proc, budget_s: float) -> dict:
     try:
-        stdout, stderr = proc.communicate(timeout=budget_s)
+        stdout, stderr = proc.communicate(timeout=max(1.0, budget_s))
     except subprocess.TimeoutExpired:
         proc.kill()
         proc.communicate()
@@ -143,10 +174,12 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "32"))
     repeats = int(os.environ.get("BENCH_REPEATS", "5"))
     train_budget = float(os.environ.get("BENCH_TRAIN_BUDGET_S", "900"))
+    trunk = os.environ.get("BENCH_TRUNK", "auto")
 
     train_proc = None
     if os.environ.get("BENCH_TRAIN", "1") != "0":
         train_proc = start_training_measure()
+        mark("training subprocess launched")
 
     model_cfg = ModelConfig()
     gen = Generator(input_channels=1,
@@ -156,21 +189,78 @@ def main():
     lung_params = gen.init(jax.random.PRNGKey(1), x0)["params"]
     engine = DualGeneratorEngine(st_params, lung_params,
                                  model_cfg=model_cfg, img_size=512,
-                                 compute_dtype=jnp.bfloat16)
+                                 compute_dtype=jnp.bfloat16, trunk=trunk)
 
     rng = np.random.default_rng(0)
     patients = [rng.integers(0, 3000, (n_slices, 512, 512)).astype(np.int16)
                 for _ in range(repeats)]
     warm = rng.integers(0, 3000, (n_slices, 512, 512)).astype(np.int16)
 
+    # structured chest phantom for the quant fidelity gate (built up front so
+    # the quant warm thread can use it)
+    yy, xx = np.mgrid[:512, :512]
+    phantom = np.empty((n_slices, 512, 512), np.int16)
+    for z in range(n_slices):
+        hu = np.full((512, 512), -1000.0, np.float32)
+        cy = 256 + 10 * np.sin(z / 4)
+        hu[((yy - cy) / 210) ** 2 + ((xx - 256) / 235) ** 2 < 1] = 40.0
+        for sx in (-85, 85):
+            hu[((yy - cy) / 95) ** 2 +
+               ((xx - 256 - sx) / 62) ** 2 < 1] = -850.0
+        ring = (((yy - cy) / 200) ** 2 + ((xx - 256) / 225) ** 2 < 1) & \
+               (((yy - cy) / 185) ** 2 + ((xx - 256) / 210) ** 2 >= 1)
+        hu[ring] = 400.0
+        phantom[z] = np.clip(hu + 1024.0, -32768, 32767).astype(np.int16)
+
+    # int8 engine warmup runs in a thread so its (long) compile overlaps the
+    # bf16 warmup + training join instead of serializing after them. The
+    # thread performs the full warmup call (compile AND one execution): the
+    # execution lands while training steps own the chip — harmless — and the
+    # thread is joined before any timed section so it can't pollute timing.
+    quant_state = {}
+
+    def _warm_quant():
+        try:
+            q = DualGeneratorEngine(st_params, lung_params,
+                                    model_cfg=model_cfg, img_size=512,
+                                    compute_dtype=jnp.bfloat16,
+                                    quant="trunk", trunk=trunk)
+            np.asarray(q.run_patient_async(phantom, 1.0, -1024.0,
+                                           chunk=chunk)[:1])
+            quant_state["engine"] = q
+        except Exception as e:  # surface, don't crash the bench
+            quant_state["error"] = f"{type(e).__name__}: {e}"
+
+    quant_thread = None
+    if os.environ.get("BENCH_QUANT", "1") != "0":
+        quant_thread = threading.Thread(target=_warm_quant, daemon=True)
+
     # warmup compiles the program AND warms the transfer path end to end
-    # (a distinct volume so the timed uploads are genuinely fresh); the
-    # training subprocess's compile overlaps this on the compile helper
+    # (a distinct volume so the timed uploads are genuinely fresh). All
+    # three big cold compiles run CONCURRENTLY on the server-side compile
+    # helper — measured in the r05 validation run: the training step
+    # finished compiling + measuring entirely within the bf16 pipeline's
+    # own 13-min cold compile window
+    if quant_thread is not None:
+        quant_thread.start()
+    mark("bf16 engine warmup (pipeline compile) starting")
     np.asarray(engine.run_patient_async(warm, 1.0, -1024.0, chunk=chunk))
+    mark("bf16 engine warm")
 
     training = {"skipped": True}
     if train_proc is not None:  # join before any timed section
-        training = join_training_measure(train_proc, train_budget)
+        # reserve time for: timed sections (~2 min) + quant measurement +
+        # loader + print; beyond that the train subprocess is cut off
+        training = join_training_measure(
+            train_proc, min(train_budget, remaining() - 300.0))
+        mark(f"training joined: {str(training)[:120]}")
+
+    if quant_thread is not None:
+        # wait for the int8 compile only as long as the budget allows a
+        # quant measurement afterwards; a straggler thread left running is
+        # blocked on a server-side compile RPC (no host/chip contention)
+        quant_thread.join(timeout=max(0.0, remaining() - 240.0))
+        mark(f"quant warm thread joined (ready={'engine' in quant_state})")
 
     # ---- breakdown: compute-only rate (device-resident input), MEDIAN of
     # rounds — BENCH_r02 recorded a single 4-run block at 89.25 while the
@@ -196,6 +286,7 @@ def main():
             np.asarray(o[:1])  # forces each program; 0.5 MB fetch is noise
         round_rates.append(n_slices * 4 / (time.perf_counter() - t0))
     compute_rate = float(np.median(round_rates))
+    mark(f"timed compute rounds done: median {compute_rate:.1f}")
 
     # ---- steady-state end-to-end: all patients in flight; downloads start
     # as soon as each result is ready (copy_to_host_async) so upload,
@@ -211,6 +302,7 @@ def main():
         assert out.shape == stored.shape and out.dtype == np.int16
 
     e2e_rate = (n_slices * repeats) / elapsed
+    mark(f"e2e done: {e2e_rate:.1f} slices/s")
     mb = n_slices * 512 * 512 * 2 / 1e6
     up_mbps = down_mbps = float("nan")
     if e2e_rate < 0.9 * compute_rate:  # transfer-bound: measure the links
@@ -268,68 +360,67 @@ def main():
     # regression in the int8 path shows up as a jump in mean/p99 |dHU|
     # in this driver-recorded artifact, not just in local dev tables.
     quant_rec = None
-    if os.environ.get("BENCH_QUANT", "1") != "0":
-        q_engine = DualGeneratorEngine(st_params, lung_params,
-                                       model_cfg=model_cfg, img_size=512,
-                                       compute_dtype=jnp.bfloat16,
-                                       quant="trunk")
-        yy, xx = np.mgrid[:512, :512]
-        phantom = np.empty((n_slices, 512, 512), np.int16)
-        for z in range(n_slices):
-            hu = np.full((512, 512), -1000.0, np.float32)
-            cy = 256 + 10 * np.sin(z / 4)
-            hu[((yy - cy) / 210) ** 2 + ((xx - 256) / 235) ** 2 < 1] = 40.0
-            for sx in (-85, 85):
-                hu[((yy - cy) / 95) ** 2 +
-                   ((xx - 256 - sx) / 62) ** 2 < 1] = -850.0
-            ring = (((yy - cy) / 200) ** 2 + ((xx - 256) / 225) ** 2 < 1) & \
-                   (((yy - cy) / 185) ** 2 + ((xx - 256) / 210) ** 2 >= 1)
-            hu[ring] = 400.0
-            phantom[z] = np.clip(hu + 1024.0, -32768, 32767).astype(np.int16)
-        ref_out = np.asarray(engine.run_patient_async(phantom, 1.0, -1024.0,
-                                                      chunk=chunk))
-        q_first = np.asarray(q_engine.run_patient_async(
-            phantom, 1.0, -1024.0, chunk=chunk))
-        d = np.abs(q_first.astype(np.float32) - ref_out.astype(np.float32))
-        # TAP 1 — raw generator outputs (pre-compositing/postprocess):
-        # int8's intrinsic model error. The final-pipeline tap amplifies
-        # it through knife-edge branches — the HU-range composite
-        # (generate.py:218-237: a voxel near a window boundary can switch
-        # WHICH model serves it) and the 750-HU bone restore
-        # (postprocess.py:49-50: switch between generated and original) —
-        # plus unsharp high-freq gain, so the two taps are reported
-        # separately (slope=1: stored-pixel diff == HU diff).
-        sub = phantom[:16]
-        raw_ref = engine.generate_batch(sub, 1.0, -1024.0)
-        raw_q = q_engine.generate_batch(sub, 1.0, -1024.0)
-        d_raw = np.concatenate([
-            np.abs(raw_q[k].astype(np.float32)
-                   - raw_ref[k].astype(np.float32)).ravel()
-            for k in ("st_stored", "lung_stored")])
-        qv = jnp.asarray(phantom)
-        qv.block_until_ready()
-        t0 = time.perf_counter()
-        qouts = [q_engine._run_patient_jit(q_engine.params, qv, slope, inter,
-                                           None, **jit_kw) for _ in range(4)]
-        for o in qouts:
-            np.asarray(o[:1])
-        quant_rec = {
-            "mode": "trunk-int8",
-            "trunk": q_engine.trunk,
-            "slices_per_s": round(n_slices * 4 /
-                                  (time.perf_counter() - t0), 2),
-            # raw generator tap: the model's own int8-vs-bf16 error
-            "raw_mean_abs_dHU_vs_bf16": round(float(d_raw.mean()), 3),
-            "raw_p99_abs_dHU_vs_bf16": round(
-                float(np.percentile(d_raw, 99)), 2),
-            "raw_max_abs_dHU_vs_bf16": round(float(d_raw.max()), 1),
-            # final pipeline tap: raw error amplified by the composite /
-            # bone-restore source switches + unsharp gain (see TAP 1 note)
-            "mean_abs_dHU_vs_bf16": round(float(d.mean()), 3),
-            "p99_abs_dHU_vs_bf16": round(float(np.percentile(d, 99)), 2),
-            "max_abs_dHU_vs_bf16": round(float(d.max()), 1),
-            "params": "reference-init N(0,0.02)",
-        }
+    if quant_thread is not None:
+        if "error" in quant_state:
+            quant_rec = {"error": quant_state["error"]}
+        elif "engine" not in quant_state or remaining() < 200.0:
+            quant_rec = {"skipped": "budget",
+                         "compile_ready": "engine" in quant_state}
+        else:
+            q_engine = quant_state["engine"]
+            # same (n_slices,512,512) shape as the warmup volumes: both
+            # pipeline runs below hit already-compiled programs
+            ref_out = np.asarray(engine.run_patient_async(
+                phantom, 1.0, -1024.0, chunk=chunk))
+            q_first = np.asarray(q_engine.run_patient_async(
+                phantom, 1.0, -1024.0, chunk=chunk))
+            d = np.abs(q_first.astype(np.float32) - ref_out.astype(np.float32))
+            qv = jnp.asarray(phantom)
+            qv.block_until_ready()
+            t0 = time.perf_counter()
+            qouts = [q_engine._run_patient_jit(q_engine.params, qv, slope,
+                                               inter, None, **jit_kw)
+                     for _ in range(4)]
+            for o in qouts:
+                np.asarray(o[:1])
+            quant_rec = {
+                "mode": "trunk-int8",
+                "trunk": q_engine.trunk,
+                "calibration": getattr(q_engine, "quant_calibration",
+                                       "static-6sigma"),
+                "slices_per_s": round(n_slices * 4 /
+                                      (time.perf_counter() - t0), 2),
+                # final pipeline tap: raw model error amplified by the
+                # composite / bone-restore source switches + unsharp gain
+                "mean_abs_dHU_vs_bf16": round(float(d.mean()), 3),
+                "p99_abs_dHU_vs_bf16": round(float(np.percentile(d, 99)), 2),
+                "max_abs_dHU_vs_bf16": round(float(d.max()), 1),
+                "params": "reference-init N(0,0.02)",
+            }
+            # TAP 1 — raw generator outputs (pre-compositing/postprocess):
+            # int8's intrinsic model error. The final-pipeline tap amplifies
+            # it through knife-edge branches — the HU-range composite
+            # (generate.py:218-237: a voxel near a window boundary can switch
+            # WHICH model serves it) and the 750-HU bone restore
+            # (postprocess.py:49-50) — plus unsharp high-freq gain, so the
+            # two taps are reported separately when the budget allows the
+            # two fresh generate_batch compiles this tap costs.
+            if remaining() > 420.0:
+                sub = phantom[:chunk]
+                raw_ref = engine.generate_batch(sub, 1.0, -1024.0)
+                raw_q = q_engine.generate_batch(sub, 1.0, -1024.0)
+                d_raw = np.concatenate([
+                    np.abs(raw_q[k].astype(np.float32)
+                           - raw_ref[k].astype(np.float32)).ravel()
+                    for k in ("st_stored", "lung_stored")])
+                quant_rec.update({
+                    "raw_mean_abs_dHU_vs_bf16": round(float(d_raw.mean()), 3),
+                    "raw_p99_abs_dHU_vs_bf16": round(
+                        float(np.percentile(d_raw, 99)), 2),
+                    "raw_max_abs_dHU_vs_bf16": round(float(d_raw.max()), 1),
+                })
+            else:
+                quant_rec["raw_tap"] = {"skipped": "budget"}
 
     # ---- real input pipeline: DICOM decode + HU + auto anatomical masks
     # through SlicePairDataset/HostLoader on synthetic 512^2 patients —
@@ -339,54 +430,60 @@ def main():
     # per-core rate documents the host sizing requirement)
     loader_rec = None
     if os.environ.get("BENCH_LOADER", "1") != "0":
-        import sys as _sys
-        import tempfile
-        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from tests.synth import write_patient
-        from ducosy_tpu.config import SOFT_TISSUE
-        from ducosy_tpu.data.dataset import SlicePairDataset
-        from ducosy_tpu.data.loader import HostLoader
-        cpus = os.cpu_count() or 1
-        worker_counts = sorted({1, min(2, cpus), min(4, cpus), cpus})
-        rates = {}
-        with tempfile.TemporaryDirectory(prefix="bench_loader_") as td:
-            pats = [write_patient(os.path.join(td, f"p{i}"), n_slices=24,
-                                  size=512) for i in range(2)]
-            ds = SlicePairDataset(pats, SOFT_TISSUE, img_size=512)
-            for nw in worker_counts:
-                loader = HostLoader(ds, batch_size=8, num_workers=nw,
-                                    drop_last=True)
-                n_samp = 0
-                t0 = time.perf_counter()
-                for b in loader:
-                    n_samp += b["a"].shape[0]
-                rates[nw] = n_samp / (time.perf_counter() - t0)
-        loader_rate = max(rates.values())
-        step_rate = training.get("samples_per_s")
-        # 8-chip projection: a v5e-8 pod consumes 8x the per-chip sample
-        # rate; per-worker throughput (best observed rate / its worker
-        # count, an underestimate when cpus < workers) sizes the host
-        loader_rec = {
-            "loader_samples_per_s": round(loader_rate, 2),
-            "loader_rate_by_workers": {str(k): round(v, 2)
-                                       for k, v in rates.items()},
-            "host_cpus": cpus,
-            "samples_measured": n_samp,
-            "input_bound": (bool(loader_rate < step_rate)
-                            if isinstance(step_rate, (int, float)) else None),
-        }
-        if isinstance(step_rate, (int, float)):
-            per_worker = max(v / k for k, v in rates.items())
-            need_8chip = 8.0 * step_rate
-            loader_rec["projection_8chip"] = {
-                "samples_per_s_needed": round(need_8chip, 2),
-                "per_worker_samples_per_s": round(per_worker, 2),
-                "workers_needed": int(np.ceil(need_8chip / per_worker)),
-                "input_bound_8chip_at_this_host": bool(
-                    loader_rate < need_8chip),
+        if remaining() < 150.0:
+            loader_rec = {"skipped": "budget"}
+            training = ({**training, "loader": loader_rec}
+                        if isinstance(training, dict) else training)
+        else:
+            import sys as _sys
+            import tempfile
+            _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tests.synth import write_patient
+            from ducosy_tpu.config import SOFT_TISSUE
+            from ducosy_tpu.data.dataset import SlicePairDataset
+            from ducosy_tpu.data.loader import HostLoader
+            cpus = os.cpu_count() or 1
+            worker_counts = sorted({1, min(2, cpus), min(4, cpus), cpus})
+            rates = {}
+            with tempfile.TemporaryDirectory(prefix="bench_loader_") as td:
+                pats = [write_patient(os.path.join(td, f"p{i}"), n_slices=24,
+                                      size=512) for i in range(2)]
+                ds = SlicePairDataset(pats, SOFT_TISSUE, img_size=512)
+                for nw in worker_counts:
+                    loader = HostLoader(ds, batch_size=8, num_workers=nw,
+                                        drop_last=True)
+                    n_samp = 0
+                    t0 = time.perf_counter()
+                    for b in loader:
+                        n_samp += b["a"].shape[0]
+                    rates[nw] = n_samp / (time.perf_counter() - t0)
+            loader_rate = max(rates.values())
+            step_rate = training.get("samples_per_s")
+            # 8-chip projection: a v5e-8 pod consumes 8x the per-chip sample
+            # rate; per-worker throughput (best observed rate / its worker
+            # count, an underestimate when cpus < workers) sizes the host
+            loader_rec = {
+                "loader_samples_per_s": round(loader_rate, 2),
+                "loader_rate_by_workers": {str(k): round(v, 2)
+                                           for k, v in rates.items()},
+                "host_cpus": cpus,
+                "samples_measured": n_samp,
+                "input_bound": (bool(loader_rate < step_rate)
+                                if isinstance(step_rate, (int, float))
+                                else None),
             }
-        if isinstance(training, dict):
-            training = {**training, **loader_rec}
+            if isinstance(step_rate, (int, float)):
+                per_worker = max(v / k for k, v in rates.items())
+                need_8chip = 8.0 * step_rate
+                loader_rec["projection_8chip"] = {
+                    "samples_per_s_needed": round(need_8chip, 2),
+                    "per_worker_samples_per_s": round(per_worker, 2),
+                    "workers_needed": int(np.ceil(need_8chip / per_worker)),
+                    "input_bound_8chip_at_this_host": bool(
+                        loader_rate < need_8chip),
+                }
+            if isinstance(training, dict):
+                training = {**training, **loader_rec}
 
     # Headline = the production throughput: the steady-state rate of the
     # full patient pipeline with volumes device-resident. The reference's
@@ -424,6 +521,8 @@ def main():
             "chunk": chunk,
             "patients": repeats,
             "slices_per_patient": n_slices,
+            "budget_s": BUDGET_S,
+            "elapsed_s": round(time.monotonic() - T0, 1),
             **({"masked": masked} if masked else {}),
         },
         "training": training,

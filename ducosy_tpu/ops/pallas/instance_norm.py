@@ -36,7 +36,12 @@ INT8_ZERO_POINT = 128
 # behavior depends on it; shared by the mega/mono trunk kernels and the
 # packed forward's quant modes (one source of truth — a re-tune must move
 # every producer at once or trunk modes silently clip differently).
-INT8_NORM_SCALE = 6.0
+# DUCOSY_INT8_SCALE overrides it process-wide (calibration sweeps,
+# content-tuned deployments — scripts/calibrate_int8.py measures the
+# fidelity/scale curve on a structured phantom).
+import os as _os
+
+INT8_NORM_SCALE = float(_os.environ.get("DUCOSY_INT8_SCALE", "6.0"))
 
 
 def quantize_weights_int8(w, *, reduce_axes=0):

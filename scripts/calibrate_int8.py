@@ -1,0 +1,214 @@
+"""int8 activation-scale calibration sweep (VERDICT r04 item 3).
+
+The quantized serving modes clip+quantize every post-IN+ReLU activation at
+a STATIC scale (ops/pallas/instance_norm.INT8_NORM_SCALE, default 6.0).
+The round-4 two-tap gate showed raw generator error of mean 3.86 / p99 43
+/ max 480 HU on structured content — either the 6-sigma ceiling clips
+edge-response spikes (IN makes channels unit-variance, not bounded) or the
+6/255 step is too coarse.  The two failure modes pull the scale in
+OPPOSITE directions, so measure, don't guess:
+
+  Phase A (stats): capture every post-IN+ReLU activation of the unpacked
+    flax Generator on phantom content; report per-site amax and
+    p99.9/p99.99 percentiles.  If p99.99 >> 6, clipping dominates.
+  Phase B (sweep): for each candidate scale, run the chain3 int8 engine's
+    raw generator tap vs the bf16 engine on the same phantom in a fresh
+    subprocess (DUCOSY_INT8_SCALE env) and record mean/p99/max |dHU|.
+
+Usage:  python scripts/calibrate_int8.py [--scales 4,6,8,12] [--stats]
+        [--slices 8]
+Writes /tmp/int8_calib/report.json and prints a summary table.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+WORK = "/tmp/int8_calib"
+
+
+def phantom_volume(n_slices: int) -> np.ndarray:
+    """The bench.py chest phantom (ellipse body, lungs, 400-HU ring)."""
+    yy, xx = np.mgrid[:512, :512]
+    vol = np.empty((n_slices, 512, 512), np.int16)
+    for z in range(n_slices):
+        hu = np.full((512, 512), -1000.0, np.float32)
+        cy = 256 + 10 * np.sin(z / 4)
+        hu[((yy - cy) / 210) ** 2 + ((xx - 256) / 235) ** 2 < 1] = 40.0
+        for sx in (-85, 85):
+            hu[((yy - cy) / 95) ** 2 +
+               ((xx - 256 - sx) / 62) ** 2 < 1] = -850.0
+        ring = (((yy - cy) / 200) ** 2 + ((xx - 256) / 225) ** 2 < 1) & \
+               (((yy - cy) / 185) ** 2 + ((xx - 256) / 210) ** 2 >= 1)
+        hu[ring] = 400.0
+        vol[z] = np.clip(hu + 1024.0, -32768, 32767).astype(np.int16)
+    return vol
+
+
+def run_stats(n_slices: int):
+    """Phase A: post-IN+ReLU distribution per site on phantom content."""
+    import jax
+    import jax.numpy as jnp
+
+    from ducosy_tpu.config import ModelConfig
+    from ducosy_tpu.models import Generator
+    from ducosy_tpu.ops.hu import hu_transform
+
+    cfg = ModelConfig()
+    gen = Generator(input_channels=1,
+                    num_residual_blocks=cfg.num_residual_blocks)
+    params = gen.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, 512, 512, 1)))["params"]
+    vol = phantom_volume(n_slices)
+    x = np.asarray(hu_transform(vol.astype(np.float32), 1.0, -1024.0,
+                                -150.0, 250.0))[..., None]
+
+    def fwd(p, xb):
+        # capture every conv output; post-IN+ReLU stats are computed from
+        # them host-side (IN has no parameters to capture)
+        y, mods = gen.apply({"params": p}, xb,
+                            capture_intermediates=True)
+        return y, mods["intermediates"]
+
+    _, inter = jax.jit(fwd)(params, jnp.asarray(x))
+
+    def post_in_relu(t):
+        t = np.asarray(t, np.float32)
+        mu = t.mean(axis=(1, 2), keepdims=True)
+        var = t.var(axis=(1, 2), keepdims=True)
+        return np.maximum((t - mu) / np.sqrt(var + 1e-5), 0.0)
+
+    stats = {}
+
+    def visit(tree, prefix):
+        for k, v in tree.items():
+            name = f"{prefix}/{k}" if prefix else k
+            if k == "__call__":
+                out = v[0]
+                if not hasattr(out, "shape") or out.ndim != 4:
+                    continue
+                # only conv outputs that feed an InstanceNorm matter:
+                # stem/down*/up*/conv1/conv2 (head feeds tanh; ca/sa
+                # gates are sigmoids)
+                site = prefix.split("/")[-1]
+                if site not in ("stem", "down1", "down2", "up1", "up2",
+                                "conv1", "conv2"):
+                    continue
+                a = post_in_relu(out)
+                stats[prefix] = {
+                    "amax": float(a.max()),
+                    "p999": float(np.percentile(a, 99.9)),
+                    "p9999": float(np.percentile(a, 99.99)),
+                }
+            elif isinstance(v, dict):
+                visit(v, name)
+
+    visit(inter, "")
+    print(f"{'site':28s} {'amax':>8s} {'p99.99':>8s} {'p99.9':>8s}")
+    worst = 0.0
+    for k in sorted(stats):
+        s = stats[k]
+        worst = max(worst, s["amax"])
+        print(f"{k:28s} {s['amax']:8.2f} {s['p9999']:8.2f} "
+              f"{s['p999']:8.2f}")
+    print(f"\nmax post-IN+ReLU value across sites: {worst:.2f} "
+          f"(static scale 6.0 clips everything above 6)")
+    return stats
+
+
+_ARM_CODE = r"""
+import json, os, sys
+import numpy as np
+sys.path.insert(0, os.environ["CALIB_REPO"])
+import jax, jax.numpy as jnp
+from ducosy_tpu.config import ModelConfig
+from ducosy_tpu.infer.engine import DualGeneratorEngine
+from ducosy_tpu.models import Generator
+
+work = os.environ["CALIB_WORK"]
+phantom = np.load(os.path.join(work, "phantom.npy"))
+cfg = ModelConfig()
+gen = Generator(input_channels=1,
+                num_residual_blocks=cfg.num_residual_blocks)
+x0 = jnp.zeros((1, 512, 512, 1), jnp.float32)
+st = gen.init(jax.random.PRNGKey(0), x0)["params"]
+lu = gen.init(jax.random.PRNGKey(1), x0)["params"]
+kind = os.environ["CALIB_KIND"]  # bf16 | int8
+kw = dict(model_cfg=cfg, img_size=512, compute_dtype=jnp.bfloat16)
+if kind == "int8":
+    kw["quant"] = "trunk"
+engine = DualGeneratorEngine(st, lu, **kw)
+out = engine.generate_batch(phantom, 1.0, -1024.0)
+rec = {k: np.asarray(v, np.float32) for k, v in out.items()
+       if k in ("st_stored", "lung_stored")}
+np.savez(os.path.join(work, os.environ["CALIB_OUT"]), **rec)
+print("ARM_DONE", os.environ.get("DUCOSY_INT8_SCALE", "n/a"))
+"""
+
+
+def run_arm(kind: str, out_name: str, scale: float | None) -> bool:
+    env = dict(os.environ, CALIB_REPO=REPO, CALIB_WORK=WORK,
+               CALIB_KIND=kind, CALIB_OUT=out_name)
+    if scale is not None:
+        env["DUCOSY_INT8_SCALE"] = str(scale)
+    r = subprocess.run([sys.executable, "-c", _ARM_CODE], env=env,
+                       capture_output=True, text=True, timeout=1200)
+    if r.returncode != 0:
+        print(f"arm {kind}/{scale} FAILED:\n{r.stderr[-2000:]}")
+        return False
+    return True
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="4,6,8,12,16")
+    ap.add_argument("--slices", type=int, default=8)
+    ap.add_argument("--stats", action="store_true")
+    args = ap.parse_args()
+    os.makedirs(WORK, exist_ok=True)
+
+    if args.stats:
+        stats = run_stats(args.slices)
+        json.dump(stats, open(os.path.join(WORK, "stats.json"), "w"),
+                  indent=1)
+        return
+
+    vol = phantom_volume(args.slices)
+    np.save(os.path.join(WORK, "phantom.npy"), vol)
+
+    ref_path = os.path.join(WORK, "ref.npz")
+    if not os.path.exists(ref_path):
+        print("bf16 reference arm ...")
+        if not run_arm("bf16", "ref.npz", None):
+            sys.exit(1)
+    ref = np.load(ref_path)
+
+    report = {}
+    for s in [float(v) for v in args.scales.split(",")]:
+        out = f"int8_s{s:g}.npz"
+        print(f"int8 arm, scale {s} ...")
+        if not run_arm("int8", out, s):
+            report[str(s)] = {"error": "arm failed"}
+            continue
+        q = np.load(os.path.join(WORK, out))
+        d = np.concatenate([
+            np.abs(q[k] - ref[k]).ravel()
+            for k in ("st_stored", "lung_stored")])
+        report[str(s)] = {
+            "mean_abs_dHU": round(float(d.mean()), 3),
+            "p99_abs_dHU": round(float(np.percentile(d, 99)), 2),
+            "max_abs_dHU": round(float(d.max()), 1),
+        }
+        print(f"  scale {s}: {report[str(s)]}")
+    json.dump(report, open(os.path.join(WORK, "report.json"), "w"),
+              indent=1)
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
