@@ -18,6 +18,10 @@ from ducosy_tpu.ops.pallas.conv_in import (
     residual_block_pallas,
 )
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 
 @pytest.fixture
 def rng():

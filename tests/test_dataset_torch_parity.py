@@ -15,6 +15,10 @@ from ducosy_tpu.config import SOFT_TISSUE
 from ducosy_tpu.data.dataset import SlicePairDataset
 from ducosy_tpu.dicom.codec import dcmread, new_ct_dataset
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
 
 

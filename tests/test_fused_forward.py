@@ -16,6 +16,10 @@ from ducosy_tpu.models.fused import (
     upsample_conv_subpixel,
 )
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 
 @pytest.mark.parametrize("channels,img", [(3, 64), (1, 64)])
 def test_fused_forward_matches_module(rng, channels, img):

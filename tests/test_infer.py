@@ -12,6 +12,10 @@ from ducosy_tpu.infer import synthesis
 from ducosy_tpu.infer.engine import DualGeneratorEngine
 from ducosy_tpu.models import Generator
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 
 def _vol(rng, z=6, h=32, w=32):
     return rng.uniform(-1000, 1500, (z, h, w)).astype(np.float32)

@@ -14,9 +14,14 @@ import jax.numpy as jnp
 from ducosy_tpu.losses.basic import gradient_loss
 from ducosy_tpu.losses.contrast import (
     contrast_attention_loss,
+
     contrast_edge_loss,
     contrast_region_loss,
 )
+
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
 
 REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
 

@@ -21,6 +21,10 @@ from ducosy_tpu.eval.lpips import (  # noqa: E402
 )
 from ducosy_tpu.eval.metrics import calculate_lpips  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 _CONV_DEFS = [  # (torch key, in_ch, out_ch, kernel, stride, pad, pool_before)
     ("features.0", 3, 64, 11, 4, 2, False),
     ("features.3", 64, 192, 5, 1, 2, True),

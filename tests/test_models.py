@@ -17,6 +17,10 @@ from ducosy_tpu.models.torch_import import (
 )
 from tests.conftest import REFERENCE_DIR, reference_available
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 
 def _init(model, shape):
     return model.init(jax.random.PRNGKey(0), jnp.zeros(shape, jnp.float32))

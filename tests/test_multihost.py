@@ -80,6 +80,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={ndev}"
 sys.path.insert(0, {repo!r})
 import jax
+
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address={coord!r},
                            num_processes=2, process_id={pid})

@@ -6,6 +6,10 @@ import pytest
 
 from ducosy_tpu.models.nmodel_data import CTDiffDataset, NModelConfig
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 
 @pytest.fixture
 def nmodel_data(tmp_path, rng):

@@ -4,14 +4,20 @@ Runs the kernel in interpret mode on CPU (numerics only; the compiled TPU
 path is exercised by bench.py and the TPU probes). The custom-VJP wrapper's
 backward is checked against jax.grad of the unfused reference."""
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
+
 
 from ducosy_tpu.models.layers import instance_norm
 from ducosy_tpu.ops.pallas.instance_norm import (
     instance_norm_fused,
     instance_norm_pallas,
 )
+
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
 
 
 def test_interpret_matches_reference(rng):

@@ -11,6 +11,10 @@ import pytest
 
 from ducosy_tpu.infer.postprocess import postprocess_ct_volume
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
 
 

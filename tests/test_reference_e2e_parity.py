@@ -24,6 +24,10 @@ from ducosy_tpu.config import LUNG, SOFT_TISSUE, ModelConfig
 from ducosy_tpu.infer.engine import DualGeneratorEngine
 from ducosy_tpu.models.torch_import import generator_params_from_torch
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 REFERENCE_DIR = os.environ.get("REFERENCE_DIR", "/root/reference")
 
 

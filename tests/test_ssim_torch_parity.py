@@ -18,6 +18,10 @@ import torch.nn.functional as F  # noqa: E402
 
 from ducosy_tpu.losses.ssim import ms_ssim, ssim  # noqa: E402
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 K1, K2 = 0.01, 0.03
 MS_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 

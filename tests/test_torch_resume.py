@@ -41,6 +41,10 @@ from ducosy_tpu.train.step import make_train_step
 from ducosy_tpu.train.torch_resume import import_torch_checkpoint
 from tests.conftest import REFERENCE_DIR, reference_available
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 R_BLOCKS = 2
 IMG = 64
 BATCH = 2

@@ -17,6 +17,10 @@ from ducosy_tpu.parallel import data_mesh, replicate, shard_batch
 from ducosy_tpu.train import create_state, make_train_step, make_val_step
 from ducosy_tpu.train.schedule import lr_for_epoch
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 IMG = 32
 CFG = replace(TrainConfig(), img_size=IMG, batch_size=8,
               compute_dtype="float32")  # deterministic CPU math

@@ -10,6 +10,10 @@ import jax.numpy as jnp
 from ducosy_tpu.models import unet3d
 from tests.conftest import REFERENCE_DIR, reference_available
 
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
+
 
 def test_normalization_contract():
     vol = np.array([-2000.0, -1024.0, 1023.5, 3071.0, 5000.0])
