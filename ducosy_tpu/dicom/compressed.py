@@ -327,7 +327,8 @@ def _extend(v: int, s: int) -> int:
     return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
 
 
-def jpeg_sv1_decode(data: bytes) -> Tuple[np.ndarray, int]:
+def jpeg_sv1_decode(data: bytes, *,
+                    native: bool = True) -> Tuple[np.ndarray, int]:
     """Decode a single-component JPEG Lossless SV1 stream.
 
     Returns (samples as uint16 (rows, cols), precision).  Supports SOF3
@@ -335,7 +336,18 @@ def jpeg_sv1_decode(data: bytes) -> Tuple[np.ndarray, int]:
     and DRI/RSTn restart markers.  Raises ValueError on malformed streams
     and on JPEG features outside that profile (multi-component scans,
     other selection values).
+
+    The native C++ decoder (native/dicom_codec.cc, ~55x this Python
+    implementation at 512^2) is tried first; this pure-Python path is the
+    reference semantics and handles everything the native path declines
+    (`native=False` forces it, for parity tests).
     """
+    if native:
+        from ducosy_tpu.dicom.native import jpeg_sv1_decode_native
+
+        got = jpeg_sv1_decode_native(data)
+        if got is not None:
+            return got
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise ValueError("not a JPEG stream (missing SOI)")
     pos = 2

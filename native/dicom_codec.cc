@@ -135,6 +135,122 @@ bool skip_sequence(Cursor& c) {
   }
 }
 
+// ---------------------------------------------------------------------------
+// JPEG Lossless SV1 (ITU-T T.81 process 14, selection value 1) decoder —
+// the native fast path behind ducosy_tpu/dicom/compressed.jpeg_sv1_decode
+// (the pure-Python decoder is ~600 ms per 512^2 slice; this is ~milliseconds,
+// which keeps compressed CT archives loader-bound friendly). Semantics are
+// kept bit-identical to the Python reference implementation, including the
+// truncation rule: consuming a synthetic pad bit (inserted at a marker /
+// end-of-data) is an error, since a conforming scan never reads its own
+// byte-boundary padding.
+
+struct JBitReader {
+  const uint8_t* d;
+  size_t len;
+  size_t pos;
+  uint64_t acc = 0;
+  int nbits = 0;
+  int pad_bits = 0;
+  int marker = -1;  // -1 = none pending
+
+  void fill() {
+    while (nbits <= 48) {
+      if (marker >= 0 || pos >= len) {
+        acc = (acc << 8) | 0xFF;
+        nbits += 8;
+        pad_bits += 8;
+        continue;
+      }
+      uint8_t b = d[pos];
+      if (b == 0xFF) {
+        if (pos + 1 >= len) { marker = 0xFFFF; continue; }  // cut marker
+        uint8_t m = d[pos + 1];
+        if (m == 0x00) {  // stuffed data byte
+          pos += 2;
+          acc = (acc << 8) | 0xFF;
+          nbits += 8;
+          continue;
+        }
+        marker = 0xFF00 | m;  // leave pos at the 0xFF
+        continue;
+      }
+      ++pos;
+      acc = (acc << 8) | b;
+      nbits += 8;
+    }
+  }
+
+  // returns -1 on pad-bit consumption (truncated scan)
+  int read(int n) {
+    if (n == 0) return 0;
+    if (nbits < n) fill();
+    nbits -= n;
+    int v = static_cast<int>((acc >> nbits) & ((1u << n) - 1));
+    acc &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+    if (nbits < pad_bits) return -1;
+    return v;
+  }
+
+  // byte-align at a restart: drop buffered bits, scan to the next marker
+  int seek_marker() {
+    acc = 0;
+    nbits = 0;
+    pad_bits = 0;
+    marker = -1;
+    while (pos + 1 < len) {
+      if (d[pos] == 0xFF && d[pos + 1] != 0x00) {
+        marker = 0xFF00 | d[pos + 1];
+        return marker;
+      }
+      ++pos;
+    }
+    return -1;
+  }
+};
+
+// canonical Huffman (T.81 C.2 / F.16): mincode/maxcode/valptr per length
+struct JHuffTable {
+  int32_t mincode[17];
+  int32_t maxcode[17];  // -1 when no codes of that length
+  int32_t valptr[17];
+  uint8_t values[256];
+  bool present = false;
+
+  void build(const uint8_t* counts, const uint8_t* symbols, int nsym) {
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      for (int i = 0; i < counts[l - 1] && k < nsym && k < 256; ++i) {
+        values[k] = symbols[k];
+        ++k;
+      }
+      code += counts[l - 1];
+      maxcode[l] = counts[l - 1] ? code - 1 : -1;
+      code <<= 1;
+    }
+    present = true;
+  }
+};
+
+// decode one Huffman symbol; -1 on invalid code / truncation
+inline int jhuff_decode(JBitReader& br, const JHuffTable& t) {
+  int code = 0;
+  for (int l = 1; l <= 16; ++l) {
+    int bit = br.read(1);
+    if (bit < 0) return -1;
+    code = (code << 1) | bit;
+    if (t.maxcode[l] >= 0 && code <= t.maxcode[l] && code >= t.mincode[l])
+      return t.values[t.valptr[l] + (code - t.mincode[l])];
+  }
+  return -1;
+}
+
+inline int jextend(int v, int s) {
+  return (v < (1 << (s - 1))) ? v - (1 << s) + 1 : v;
+}
+
 }  // namespace
 
 extern "C" {
@@ -270,6 +386,128 @@ int parse_slice(const uint8_t* buf, uint64_t len, SliceMeta* out) {
     (void)is_sq;
     c.off += vlen;
   }
+  return 0;
+}
+
+// JPEG Lossless SV1 decode. Returns 0 ok; 1 malformed/truncated;
+// 3 unsupported JPEG feature (other SOF process, multi-component,
+// selection value != 1). out must hold rows*cols uint16s (capacity
+// checked against the SOF3 geometry).
+int decode_jpeg_sv1(const uint8_t* data, uint64_t len, uint16_t* out,
+                    uint64_t out_capacity, int32_t* rows_out,
+                    int32_t* cols_out, int32_t* precision_out) {
+  if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return 1;
+  size_t pos = 2;
+  int precision = -1, rows = 0, cols = 0;
+  JHuffTable tables[4];
+  int restart_interval = 0;
+  int table_id = -1, al = 0;
+  size_t entropy_start = 0;
+  bool have_scan = false;
+  while (pos + 4 <= len) {
+    if (data[pos] != 0xFF) return 1;
+    while (pos + 1 < len && data[pos + 1] == 0xFF) ++pos;  // fill bytes
+    int marker = data[pos + 1];
+    pos += 2;
+    if (marker == 0xD9) break;  // EOI before any scan
+    if (pos + 2 > len) return 1;
+    size_t seg_len = (static_cast<size_t>(data[pos]) << 8) | data[pos + 1];
+    if (seg_len < 2 || pos + seg_len > len) return 1;
+    const uint8_t* seg = data + pos + 2;
+    size_t seg_n = seg_len - 2;
+    if (marker == 0xC3) {  // SOF3
+      if (seg_n < 6) return 1;
+      precision = seg[0];
+      rows = (seg[1] << 8) | seg[2];
+      cols = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return 3;  // multi-component
+      if (precision < 2 || precision > 16 || rows <= 0 || cols <= 0)
+        return 1;
+    } else if ((marker >= 0xC0 && marker <= 0xCF) && marker != 0xC4 &&
+               marker != 0xC8 && marker != 0xCC) {
+      return 3;  // some other SOF process — not lossless process 14
+    } else if (marker == 0xC4) {  // DHT
+      size_t o = 0;
+      while (o < seg_n) {
+        if (o + 17 > seg_n) return 1;
+        uint8_t tc_th = seg[o];
+        int nsym = 0;
+        for (int i = 0; i < 16; ++i) nsym += seg[o + 1 + i];
+        if (o + 17 + nsym > seg_n || nsym > 256) return 1;
+        if ((tc_th >> 4) == 0)  // DC-class: the lossless tables
+          tables[tc_th & 0x03].build(seg + o + 1, seg + o + 17, nsym);
+        o += 17 + nsym;
+      }
+    } else if (marker == 0xDD) {  // DRI
+      if (seg_n < 2) return 1;
+      restart_interval = (seg[0] << 8) | seg[1];
+    } else if (marker == 0xDA) {  // SOS
+      if (seg_n < 4) return 1;
+      int ns = seg[0];
+      if (ns != 1) return 3;
+      if (seg_n < static_cast<size_t>(1 + 2 * ns + 3)) return 1;
+      table_id = seg[2] >> 4;
+      int selection = seg[1 + 2 * ns];
+      al = seg[3 + 2 * ns] & 0x0F;
+      if (selection != 1) return 3;  // only SV1
+      entropy_start = pos + seg_len;
+      have_scan = true;
+      break;
+    }
+    pos += seg_len;
+  }
+  if (precision < 0 || !have_scan) return 1;
+  if (table_id < 0 || table_id > 3 || !tables[table_id].present) return 1;
+  uint64_t n = static_cast<uint64_t>(rows) * cols;
+  if (n > out_capacity) return 1;
+  *rows_out = rows;
+  *cols_out = cols;
+  *precision_out = precision;
+
+  const JHuffTable& t = tables[table_id];
+  JBitReader br{data, static_cast<size_t>(len), entropy_start};
+  int def = 1 << (precision - 1 - al);
+  int remaining = restart_interval ? restart_interval : -1;
+  bool reset = true;  // start-of-scan behaves like a restart
+  uint64_t idx = 0;
+  for (int r = 0; r < rows; ++r) {
+    for (int c = 0; c < cols; ++c) {
+      if (remaining == 0) {
+        int m = br.seek_marker();
+        br.marker = -1;
+        if (m < 0xFFD0 || m > 0xFFD7) return 1;
+        br.pos += 2;
+        remaining = restart_interval;
+        reset = true;
+      }
+      int s = jhuff_decode(br, t);
+      if (s < 0 || s > 16) return 1;
+      int diff;
+      if (s == 16) {
+        diff = 32768;  // category 16: no magnitude bits
+      } else if (s) {
+        int v = br.read(s);
+        if (v < 0) return 1;
+        diff = jextend(v, s);
+      } else {
+        diff = 0;
+      }
+      int pred;
+      if (reset) {
+        pred = def;
+        reset = false;
+      } else if (c == 0) {
+        pred = out[idx - cols];  // Rb: first sample of the row
+      } else {
+        pred = out[idx - 1];  // Ra: left neighbour (SV1)
+      }
+      out[idx++] = static_cast<uint16_t>((pred + diff) & 0xFFFF);
+      if (remaining > 0) --remaining;
+    }
+  }
+  if (al)
+    for (uint64_t i = 0; i < n; ++i)
+      out[i] = static_cast<uint16_t>(out[i] << al);
   return 0;
 }
 

@@ -156,8 +156,12 @@ def run_arm(kind: str, out_name: str, scale: float | None) -> bool:
                CALIB_KIND=kind, CALIB_OUT=out_name)
     if scale is not None:
         env["DUCOSY_INT8_SCALE"] = str(scale)
-    r = subprocess.run([sys.executable, "-c", _ARM_CODE], env=env,
-                       capture_output=True, text=True, timeout=1200)
+    try:
+        r = subprocess.run([sys.executable, "-c", _ARM_CODE], env=env,
+                           capture_output=True, text=True, timeout=1800)
+    except subprocess.TimeoutExpired:
+        print(f"arm {kind}/{scale} TIMED OUT")
+        return False
     if r.returncode != 0:
         print(f"arm {kind}/{scale} FAILED:\n{r.stderr[-2000:]}")
         return False

@@ -327,3 +327,67 @@ def test_preprocess_pipeline_reads_compressed(tmp_path):
     assert np.isfinite(np.asarray(x)).all()
     assert float(np.min(np.asarray(x))) >= -1.0
     assert float(np.max(np.asarray(x))) <= 1.0
+
+
+# -------------------------------------------- native JPEG-SV1 fast path
+
+def _native_ready():
+    from ducosy_tpu.dicom.native import available, _lib
+    if not available():
+        return False
+    from ducosy_tpu.dicom import native as N
+    return hasattr(N._lib, "decode_jpeg_sv1")
+
+
+@pytest.mark.skipif(not _native_ready(),
+                    reason="native library not built with decode_jpeg_sv1")
+def test_native_jpeg_parity_with_python():
+    rng = np.random.default_rng(20)
+    for arr in (_ct_slice(rng, 48, 64),
+                rng.integers(0, 1 << 16, (17, 31)).astype(np.uint16),
+                np.full((8, 8), 0xFFFF, np.uint16)):
+        stream = X.jpeg_sv1_encode(
+            arr if arr.dtype != np.int16 else arr, precision=16)
+        py, p_prec = X.jpeg_sv1_decode(stream, native=False)
+        nat, n_prec = X.jpeg_sv1_decode(stream, native=True)
+        assert p_prec == n_prec
+        np.testing.assert_array_equal(nat, py)
+
+
+@pytest.mark.skipif(not _native_ready(),
+                    reason="native library not built with decode_jpeg_sv1")
+def test_native_jpeg_malformed_falls_back_to_python_errors():
+    rng = np.random.default_rng(21)
+    stream = X.jpeg_sv1_encode(_ct_slice(rng, 16, 16), precision=16)
+    # the native path declines malformed input; the Python path raises
+    # its detailed ValueError — the public function behaves identically
+    # with native on or off
+    for bad in (b"\x00\x01garbage", stream[:20],
+                stream[:len(stream) // 2] + b"\xFF\xD9"):
+        with pytest.raises(ValueError):
+            X.jpeg_sv1_decode(bad, native=True)
+        with pytest.raises(ValueError):
+            X.jpeg_sv1_decode(bad, native=False)
+
+
+def test_jpeg_sv1_restart_markers_both_paths():
+    """Hand-built stream with DRI=4 and one RST0: 2x4 image, single
+    1-bit Huffman code (all diffs 0), so every sample equals the default
+    prediction 128 — including the post-restart reset (T.81 G: prediction
+    reset at restart)."""
+    stream = bytes.fromhex(
+        "FFD8"
+        "FFC3" "000B" "08" "0002" "0004" "01" "01" "11" "00"
+        "FFC4" "0014" "00" "01" + "00" * 15 + "00"
+        "FFDD" "0004" "0004"  # DRI: restart interval 4
+        "FFDA" "0008" "01" "01" "00" "01" "00" "00"
+        "0F"    # 4 zero-code bits + 1111 pad
+        "FFD0"  # RST0
+        "0F"    # second interval
+        "FFD9")
+    py, prec = X.jpeg_sv1_decode(stream, native=False)
+    assert prec == 8
+    np.testing.assert_array_equal(py, np.full((2, 4), 128, np.uint16))
+    if _native_ready():
+        nat, _ = X.jpeg_sv1_decode(stream, native=True)
+        np.testing.assert_array_equal(nat, py)
