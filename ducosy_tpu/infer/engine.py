@@ -171,6 +171,12 @@ class DualGeneratorEngine:
                 f"forward={forward!r}: needs a TPU with Pallas available "
                 "and img_size divisible by 4)")
         self.quant = quant
+        if quant:
+            from ducosy_tpu.ops.pallas.instance_norm import INT8_NORM_SCALE
+
+            # surfaced in the bench quant record; DUCOSY_INT8_SCALE moves
+            # it (scripts/calibrate_int8.py measures the fidelity curve)
+            self.quant_calibration = f"static-{INT8_NORM_SCALE:g}sigma"
         # trunk: auto/xla/pallas/mega/mono — the packed forward's
         # residual-trunk implementation (models/fused.
         # generator_apply_packed); "mega" folds the trunk convs into the

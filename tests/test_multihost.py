@@ -17,6 +17,9 @@ import numpy as np
 import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
+# torch parity (round-5 fast tier: pytest -m "not slow")
+
 
 # Deterministic toy dataset: 11 samples -> batch 8 gives one full batch and
 # one wrap-padded batch with 3 real samples (weighted-step path).
@@ -80,9 +83,6 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count={ndev}"
 sys.path.insert(0, {repo!r})
 import jax
-
-pytestmark = pytest.mark.slow  # full-tier only: heavy compiles /
-# torch parity (round-5 fast tier: pytest -m "not slow")
 
 jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address={coord!r},
