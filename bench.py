@@ -13,10 +13,13 @@ volume postprocess — end-to-end INCLUDING host<->device transfers
 patients pipelined so upload/compute/download overlap.
 
 WALL-CLOCK BUDGET: the driver kills this process at 30:00 (BENCH_r04 died
-rc=124 there). A global budget (BENCH_BUDGET_S, default 1380 s measured
+rc=124 there). A global budget (BENCH_BUDGET_S, default 1500 s measured
 from interpreter start) guards every section after the headline: a section
 whose estimated cost would bust the budget is skipped with
-{"skipped": "budget"} instead of run, so the headline JSON always prints.
+{"skipped": "budget"} instead of run — and each post-headline section is
+additionally wrapped so an infrastructure failure (e.g. a dropped
+remote-compile connection) degrades to an {"error": ...} record instead
+of killing the process — so the headline JSON always prints.
 Cold TPU compiles through this harness take 2-10+ min each and are NOT
 persistently cached, so the expensive programs are overlapped: the
 training-step compile runs in a subprocess and the int8 pipeline warms in
@@ -359,6 +362,76 @@ def main():
     # phantom (not noise) with the reference's N(0,0.02) init — a
     # regression in the int8 path shows up as a jump in mean/p99 |dHU|
     # in this driver-recorded artifact, not just in local dev tables.
+    def _quant_measure():
+        q_engine = quant_state["engine"]
+        # same (n_slices,512,512) shape as the warmup volumes: both
+        # pipeline runs below hit already-compiled programs
+        ref_out = np.asarray(engine.run_patient_async(
+            phantom, 1.0, -1024.0, chunk=chunk))
+        q_first = np.asarray(q_engine.run_patient_async(
+            phantom, 1.0, -1024.0, chunk=chunk))
+        d = np.abs(q_first.astype(np.float32) - ref_out.astype(np.float32))
+        qv = jnp.asarray(phantom)
+        qv.block_until_ready()
+        t0 = time.perf_counter()
+        qouts = [q_engine._run_patient_jit(q_engine.params, qv, slope,
+                                           inter, None, **jit_kw)
+                 for _ in range(4)]
+        for o in qouts:
+            np.asarray(o[:1])
+        rec = {
+            "mode": "trunk-int8",
+            "trunk": q_engine.trunk,
+            "calibration": getattr(q_engine, "quant_calibration",
+                                   "static-6sigma"),
+            "slices_per_s": round(n_slices * 4 /
+                                  (time.perf_counter() - t0), 2),
+            # final pipeline tap: raw model error amplified by the
+            # composite / bone-restore source switches + unsharp gain
+            "mean_abs_dHU_vs_bf16": round(float(d.mean()), 3),
+            "p99_abs_dHU_vs_bf16": round(float(np.percentile(d, 99)), 2),
+            "max_abs_dHU_vs_bf16": round(float(d.max()), 1),
+            "params": "reference-init N(0,0.02)",
+        }
+        # TAP 1 — raw generator outputs (pre-compositing/postprocess):
+        # int8's intrinsic model error. The final-pipeline tap amplifies
+        # it through knife-edge branches — the HU-range composite
+        # (generate.py:218-237: a voxel near a window boundary can switch
+        # WHICH model serves it) and the 750-HU bone restore
+        # (postprocess.py:49-50) — plus unsharp high-freq gain.
+        # OPT-IN ONLY (BENCH_RAWTAP=1): this tap costs two fresh
+        # generate_batch compiles whose duration the budget guard CANNOT
+        # interrupt once started — a cold validation run measured them at
+        # >12 min, sailing through the soft budget into the driver's
+        # 30:00 kill (rc=124, headline lost). The raw-tap fidelity curve
+        # is recorded in docs/PERF.md from scripts/calibrate_int8.py
+        # instead; the driver artifact keeps the (bounded, precompiled)
+        # final-pipeline tap above.
+        if os.environ.get("BENCH_RAWTAP") == "1" and remaining() > 600.0:
+            try:  # a tunnel failure here must not void the whole record
+                sub = phantom[:chunk]
+                raw_ref = engine.generate_batch(sub, 1.0, -1024.0)
+                raw_q = q_engine.generate_batch(sub, 1.0, -1024.0)
+                d_raw = np.concatenate([
+                    np.abs(raw_q[k].astype(np.float32)
+                           - raw_ref[k].astype(np.float32)).ravel()
+                    for k in ("st_stored", "lung_stored")])
+                rec.update({
+                    "raw_mean_abs_dHU_vs_bf16": round(float(d_raw.mean()),
+                                                      3),
+                    "raw_p99_abs_dHU_vs_bf16": round(
+                        float(np.percentile(d_raw, 99)), 2),
+                    "raw_max_abs_dHU_vs_bf16": round(float(d_raw.max()), 1),
+                })
+            except Exception as e:
+                mark(f"raw tap failed: {type(e).__name__}: {str(e)[:160]}")
+                rec["raw_tap"] = {"error":
+                                  f"{type(e).__name__}: {str(e)[:200]}"}
+        else:
+            rec["raw_tap"] = {"skipped": "opt-in (BENCH_RAWTAP=1); "
+                                         "curve in docs/PERF.md"}
+        return rec
+
     quant_rec = None
     if quant_thread is not None:
         if "error" in quant_state:
@@ -367,60 +440,12 @@ def main():
             quant_rec = {"skipped": "budget",
                          "compile_ready": "engine" in quant_state}
         else:
-            q_engine = quant_state["engine"]
-            # same (n_slices,512,512) shape as the warmup volumes: both
-            # pipeline runs below hit already-compiled programs
-            ref_out = np.asarray(engine.run_patient_async(
-                phantom, 1.0, -1024.0, chunk=chunk))
-            q_first = np.asarray(q_engine.run_patient_async(
-                phantom, 1.0, -1024.0, chunk=chunk))
-            d = np.abs(q_first.astype(np.float32) - ref_out.astype(np.float32))
-            qv = jnp.asarray(phantom)
-            qv.block_until_ready()
-            t0 = time.perf_counter()
-            qouts = [q_engine._run_patient_jit(q_engine.params, qv, slope,
-                                               inter, None, **jit_kw)
-                     for _ in range(4)]
-            for o in qouts:
-                np.asarray(o[:1])
-            quant_rec = {
-                "mode": "trunk-int8",
-                "trunk": q_engine.trunk,
-                "calibration": getattr(q_engine, "quant_calibration",
-                                       "static-6sigma"),
-                "slices_per_s": round(n_slices * 4 /
-                                      (time.perf_counter() - t0), 2),
-                # final pipeline tap: raw model error amplified by the
-                # composite / bone-restore source switches + unsharp gain
-                "mean_abs_dHU_vs_bf16": round(float(d.mean()), 3),
-                "p99_abs_dHU_vs_bf16": round(float(np.percentile(d, 99)), 2),
-                "max_abs_dHU_vs_bf16": round(float(d.max()), 1),
-                "params": "reference-init N(0,0.02)",
-            }
-            # TAP 1 — raw generator outputs (pre-compositing/postprocess):
-            # int8's intrinsic model error. The final-pipeline tap amplifies
-            # it through knife-edge branches — the HU-range composite
-            # (generate.py:218-237: a voxel near a window boundary can switch
-            # WHICH model serves it) and the 750-HU bone restore
-            # (postprocess.py:49-50) — plus unsharp high-freq gain, so the
-            # two taps are reported separately when the budget allows the
-            # two fresh generate_batch compiles this tap costs.
-            if remaining() > 420.0:
-                sub = phantom[:chunk]
-                raw_ref = engine.generate_batch(sub, 1.0, -1024.0)
-                raw_q = q_engine.generate_batch(sub, 1.0, -1024.0)
-                d_raw = np.concatenate([
-                    np.abs(raw_q[k].astype(np.float32)
-                           - raw_ref[k].astype(np.float32)).ravel()
-                    for k in ("st_stored", "lung_stored")])
-                quant_rec.update({
-                    "raw_mean_abs_dHU_vs_bf16": round(float(d_raw.mean()), 3),
-                    "raw_p99_abs_dHU_vs_bf16": round(
-                        float(np.percentile(d_raw, 99)), 2),
-                    "raw_max_abs_dHU_vs_bf16": round(float(d_raw.max()), 1),
-                })
-            else:
-                quant_rec["raw_tap"] = {"skipped": "budget"}
+            try:  # infra hiccups degrade to an error record, never rc!=0
+                quant_rec = _quant_measure()
+            except Exception as e:
+                mark(f"quant section failed: {type(e).__name__}: "
+                     f"{str(e)[:160]}")
+                quant_rec = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
 
     # ---- real input pipeline: DICOM decode + HU + auto anatomical masks
     # through SlicePairDataset/HostLoader on synthetic 512^2 patients —
@@ -435,6 +460,7 @@ def main():
             training = ({**training, "loader": loader_rec}
                         if isinstance(training, dict) else training)
         else:
+          try:  # CPU-side section; any failure degrades to an error record
             import sys as _sys
             import tempfile
             _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -484,6 +510,12 @@ def main():
                 }
             if isinstance(training, dict):
                 training = {**training, **loader_rec}
+          except Exception as e:
+            mark(f"loader section failed: {type(e).__name__}: "
+                 f"{str(e)[:160]}")
+            if isinstance(training, dict):
+                training = {**training, "loader": {
+                    "error": f"{type(e).__name__}: {str(e)[:200]}"}}
 
     # Headline = the production throughput: the steady-state rate of the
     # full patient pipeline with volumes device-resident. The reference's
