@@ -15,11 +15,12 @@ needs:
     (PixelRepresentation), with RescaleSlope/Intercept left to callers.
 
 Compressed lossless syntaxes decode natively: RLE Lossless
-(1.2.840.10008.1.2.5) and JPEG Lossless SV1 (1.2.840.10008.1.2.4.70) — the
-two syntaxes the reference handles through its python-rle / pylibjpeg
-wheels (/root/reference/requirements.txt) that actually occur in lossless
-CT archives (see ducosy_tpu/dicom/compressed.py). Lossy families (JPEG
-baseline, J2K) raise with a clear message.
+(1.2.840.10008.1.2.5), JPEG Lossless SV1 (1.2.840.10008.1.2.4.70) and the
+general JPEG Lossless Process 14 (1.2.840.10008.1.2.4.57, predictors
+1-7) — the syntaxes the reference handles through its python-rle /
+pylibjpeg wheels (/root/reference/requirements.txt) that actually occur
+in lossless CT archives (see ducosy_tpu/dicom/compressed.py). Lossy
+families (JPEG baseline, J2K) raise with a clear message.
 
 An optional C++ fast path for bulk parsing lives in ducosy_tpu/dicom/native.py.
 """
@@ -36,10 +37,11 @@ IMPLICIT_VR_LE = "1.2.840.10008.1.2"
 EXPLICIT_VR_LE = "1.2.840.10008.1.2.1"
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 # encapsulated syntaxes this codec decodes itself (the reference gets the
 # same coverage from the python-rle / pylibjpeg wheels it installs —
 # /root/reference/requirements.txt); lossy families stay rejected
-_ENCAPSULATED = (RLE_LOSSLESS, JPEG_LOSSLESS_SV1)
+_ENCAPSULATED = (RLE_LOSSLESS, JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14)
 _SUPPORTED = (IMPLICIT_VR_LE, EXPLICIT_VR_LE)
 
 # VRs with 4-byte lengths (and a 2-byte reserved field) in explicit VR
@@ -331,7 +333,7 @@ class Dataset:
                 raise ValueError(
                     f"RLE frame split across {len(fragments)} fragments")
             arr = _c.rle_decode_frame(fragments[0], rows, cols, bits)
-        else:  # JPEG Lossless SV1; a frame may span several fragments
+        else:  # JPEG Lossless; a frame may span several fragments
             arr, precision = _c.jpeg_sv1_decode(b"".join(fragments))
             if precision > bits:
                 raise ValueError(
@@ -493,7 +495,7 @@ def dcmread(path_or_bytes, *, stop_before_pixels: bool = False) -> Dataset:
             raise NotImplementedError(
                 f"transfer syntax {tsu} ({hint}); this codec reads "
                 f"uncompressed LE, RLE Lossless ({RLE_LOSSLESS}) and "
-                f"JPEG Lossless SV1 ({JPEG_LOSSLESS_SV1})")
+                f"JPEG Lossless ({JPEG_LOSSLESS_SV1}, {JPEG_LOSSLESS_P14})")
         ds.transfer_syntax_uid = tsu
         # encapsulated syntaxes always carry an Explicit VR LE dataset
         _read_dataset(f, ds, explicit=(tsu != IMPLICIT_VR_LE),
@@ -558,7 +560,7 @@ def dcmwrite(path: str, ds: Dataset, *, transfer_syntax: str | None = None):
         raise NotImplementedError(
             f"cannot write transfer syntax {out_tsu}")
     pixel_tag = (0x7FE0, 0x0010)
-    if pixel_tag in ds._elements and (
+    if pixel_tag in ds._elements and ds.transfer_syntax_uid != out_tsu and (
             ds.transfer_syntax_uid in _ENCAPSULATED
             or out_tsu in _ENCAPSULATED):
         from ducosy_tpu.dicom import compressed as _c
@@ -568,7 +570,9 @@ def dcmwrite(path: str, ds: Dataset, *, transfer_syntax: str | None = None):
         if out_tsu == RLE_LOSSLESS:
             frag = _c.rle_encode_frame(arr)
             ds.set_raw(pixel_tag, "OB", _c.encapsulate([frag]))
-        elif out_tsu == JPEG_LOSSLESS_SV1:
+        elif out_tsu in (JPEG_LOSSLESS_SV1, JPEG_LOSSLESS_P14):
+            # SV1 codestreams are legal under both syntaxes (predictor 1
+            # is one of the .4.57 family's seven)
             bits = int(ds.get("BitsAllocated", 16))
             frag = _c.jpeg_sv1_encode(arr, precision=bits)
             ds.set_raw(pixel_tag, "OB", _c.encapsulate([frag]))

@@ -14,6 +14,10 @@ archives, with no third-party wheels:
     (1.2.840.10008.1.2.4.70) — ITU-T T.81 process 14 selection value 1:
     SOF3 frame, Huffman-coded prediction differences, left-neighbour
     predictor (Px = Ra; Rb on row starts), optional restart markers.
+  - JPEG Lossless, Non-Hierarchical, Process 14 (1.2.840.10008.1.2.4.57)
+    — the same codestream family with any T.81 Table H.1 predictor
+    (selection values 1-7); pylibjpeg decodes this syntax for the
+    reference, so we do too.
 
 Both decoders are pure numpy/Python (a native fast path can layer on
 later); encoders are provided for round-trip tests and for writing
@@ -32,6 +36,7 @@ import numpy as np
 
 RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"
 
 _ITEM = (0xFFFE, 0xE000)
 _SEQ_DELIM = (0xFFFE, 0xE0DD)
@@ -329,18 +334,19 @@ def _extend(v: int, s: int) -> int:
 
 def jpeg_sv1_decode(data: bytes, *,
                     native: bool = True) -> Tuple[np.ndarray, int]:
-    """Decode a single-component JPEG Lossless SV1 stream.
+    """Decode a single-component JPEG Lossless (T.81 process 14) stream.
 
     Returns (samples as uint16 (rows, cols), precision).  Supports SOF3
-    with one component, predictor selection value 1, point transform Al,
-    and DRI/RSTn restart markers.  Raises ValueError on malformed streams
-    and on JPEG features outside that profile (multi-component scans,
-    other selection values).
+    with one component, any predictor selection value 1-7 (Table H.1),
+    point transform Al, and DRI/RSTn restart markers.  Raises ValueError
+    on malformed streams and on JPEG features outside that profile
+    (multi-component scans, hierarchical selection value 0).
 
     The native C++ decoder (native/dicom_codec.cc, ~55x this Python
-    implementation at 512^2) is tried first; this pure-Python path is the
-    reference semantics and handles everything the native path declines
-    (`native=False` forces it, for parity tests).
+    implementation at 512^2) is tried first; it covers the dominant SV1
+    profile and declines anything else, in which case this pure-Python
+    path — the reference semantics — decodes it (`native=False` forces
+    it, for parity tests).
     """
     if native:
         from ducosy_tpu.dicom.native import jpeg_sv1_decode_native
@@ -403,17 +409,17 @@ def jpeg_sv1_decode(data: bytes, *,
             table_id = seg[2] >> 4
             selection = seg[1 + 2 * ns]  # Ss = predictor selection value
             al = seg[3 + 2 * ns] & 0x0F  # point transform
-            if selection != 1:
+            if not 1 <= selection <= 7:
                 raise ValueError(
-                    f"JPEG lossless selection value {selection}; only SV1 "
-                    "(left predictor) is supported")
+                    f"JPEG lossless selection value {selection}; only the "
+                    "T.81 Table H.1 predictors (1-7) are supported")
             scan = (table_id, selection, al, pos + seg_len)
             break
         # APPn/COM/other: skip
         pos += seg_len
     if precision is None or scan is None:
         raise ValueError("JPEG stream missing SOF3/SOS")
-    table_id, _sel, al, entropy_start = scan
+    table_id, sel, al, entropy_start = scan
     table = huff_tables.get(table_id)
     if table is None:
         raise ValueError(f"JPEG scan references missing Huffman table "
@@ -425,6 +431,7 @@ def jpeg_sv1_decode(data: bytes, *,
     mask = 0xFFFF
     samples_until_restart = restart_interval if restart_interval else -1
     restart_reset = True  # start-of-scan behaves like a restart
+    first_line_row = 0  # first line after a restart uses Ra (T.81 H.2.2)
     idx = 0
     read = br.read
     for r in range(rows):
@@ -448,10 +455,28 @@ def jpeg_sv1_decode(data: bytes, *,
             if restart_reset:
                 pred = default
                 restart_reset = False
+                first_line_row = r
             elif c == 0:
                 pred = int(out[idx - cols])  # Rb: first sample of the row
+            elif r == first_line_row or sel == 1:
+                pred = int(out[idx - 1])  # Ra (predictor 1; also the
+                # mandated predictor for the interval's first line)
             else:
-                pred = int(out[idx - 1])  # Ra: left neighbour (SV1)
+                ra = int(out[idx - 1])
+                rb = int(out[idx - cols])
+                rc = int(out[idx - cols - 1])
+                if sel == 2:
+                    pred = rb
+                elif sel == 3:
+                    pred = rc
+                elif sel == 4:
+                    pred = ra + rb - rc
+                elif sel == 5:
+                    pred = ra + ((rb - rc) >> 1)
+                elif sel == 6:
+                    pred = rb + ((ra - rc) >> 1)
+                else:  # sel == 7
+                    pred = (ra + rb) >> 1
             out[idx] = (pred + diff) & mask
             idx += 1
             if samples_until_restart > 0:
@@ -485,21 +510,45 @@ def _encoder_codes():
     return codes
 
 
-def jpeg_sv1_encode(arr: np.ndarray, precision: int = 16) -> bytes:
+def jpeg_sv1_encode(arr: np.ndarray, precision: int = 16,
+                    predictor: int = 1) -> bytes:
     """Encode a 2-D array of unsigned samples (< 2**precision) as JPEG
-    Lossless SV1.  Used for round-trip tests and compressed fixtures."""
+    Lossless (T.81 process 14).  predictor selects the Table H.1 scheme
+    (1 = SV1, the DICOM .4.70 profile; 2-7 are legal under the general
+    .4.57 syntax).  Used for round-trip tests and compressed fixtures."""
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"JPEG lossless predictor {predictor} out of 1-7")
     arr = np.ascontiguousarray(arr)
     if arr.dtype.kind == "i":
         arr = arr.view(np.uint8 if arr.dtype.itemsize == 1 else np.uint16)
     rows, cols = arr.shape
-    flat = arr.astype(np.int32).ravel()
-    # SV1 prediction: left neighbour; row starts predict from above;
-    # very first sample from the precision default
-    pred = np.empty_like(flat)
-    pred[1:] = flat[:-1]
-    pred[0] = 1 << (precision - 1)
-    pred[cols::cols] = flat[:-cols:cols]
-    diffs = ((flat - pred) & 0xFFFF).astype(np.uint16)
+    a = arr.astype(np.int32)
+    # T.81 H.1.2.2/H.2.2 prediction: the very first sample uses the
+    # precision default, the rest of the first line uses Ra, row starts
+    # use Rb, and interior samples use the selected predictor
+    pred = np.empty_like(a)
+    pred[0, 0] = 1 << (precision - 1)
+    pred[0, 1:] = a[0, :-1]
+    if rows > 1:
+        pred[1:, 0] = a[:-1, 0]
+        ra, rb, rc = a[1:, :-1], a[:-1, 1:], a[:-1, :-1]
+        if predictor == 1:
+            interior = ra
+        elif predictor == 2:
+            interior = rb
+        elif predictor == 3:
+            interior = rc
+        elif predictor == 4:
+            interior = ra + rb - rc
+        elif predictor == 5:
+            interior = ra + ((rb - rc) >> 1)
+        elif predictor == 6:
+            interior = rb + ((ra - rc) >> 1)
+        else:  # predictor == 7
+            interior = (ra + rb) >> 1
+        pred[1:, 1:] = interior
+    flat = a.ravel()
+    diffs = ((flat - pred.ravel()) & 0xFFFF).astype(np.uint16)
     # map to signed 16-bit difference domain (mod 2^16 arithmetic)
     sdiff = diffs.astype(np.int32)
     sdiff[sdiff >= 32768] -= 65536
@@ -543,7 +592,8 @@ def jpeg_sv1_encode(arr: np.ndarray, precision: int = 16) -> bytes:
     sof = struct.pack(">BHHB", precision, rows, cols, 1) + bytes([1, 0x11, 0])
     out += b"\xFF\xC3" + struct.pack(">H", 2 + len(sof)) + sof
     out += b"\xFF\xC4" + struct.pack(">H", 2 + len(dht_payload)) + dht_payload
-    sos = bytes([1, 1, 0x00, 1, 0, 0x00])  # 1 comp, table 0, Ss=1, Al=0
+    # 1 component, table 0, Ss = predictor selection value, Al = 0
+    sos = bytes([1, 1, 0x00, predictor, 0, 0x00])
     out += b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos
     out += entropy
     out += b"\xFF\xD9"  # EOI

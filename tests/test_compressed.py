@@ -199,6 +199,70 @@ def test_jpeg_sv1_rejects_other_processes():
         X.jpeg_sv1_decode(bytes(stream))
 
 
+# --------------------- general process 14 (predictors 2-7, syntax .4.57)
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_jpeg_p14_roundtrip_all_predictors(predictor):
+    """Every T.81 Table H.1 predictor round-trips bit-exactly on CT-like
+    content (the general .4.57 syntax allows all seven; pylibjpeg decodes
+    them for the reference).  The native SV1 decoder declines Ss != 1 and
+    the Python path takes over transparently."""
+    rng = np.random.default_rng(40 + predictor)
+    arr = _ct_slice(rng, 24, 40)
+    stream = X.jpeg_sv1_encode(arr, precision=16, predictor=predictor)
+    # the SOS Ss byte really carries the predictor
+    sos = stream.find(b"\xFF\xDA")
+    assert stream[sos + 2 + 2 + 1 + 2 * 1] == predictor
+    out, precision = X.jpeg_sv1_decode(stream)
+    assert precision == 16
+    np.testing.assert_array_equal(out.view(np.int16), arr)
+    # forced pure-Python path agrees (native declined or not)
+    out2, _ = X.jpeg_sv1_decode(stream, native=False)
+    np.testing.assert_array_equal(out2, out)
+
+
+@pytest.mark.parametrize("predictor", [2, 4, 5, 6, 7])
+def test_jpeg_p14_roundtrip_noise(predictor):
+    # pure noise exercises every magnitude category and the signed >>1
+    # floor behaviour of predictors 5-7 on negative (Rb-Rc)/(Ra-Rc)
+    rng = np.random.default_rng(50 + predictor)
+    arr = rng.integers(0, 1 << 16, (17, 23)).astype(np.uint16)
+    stream = X.jpeg_sv1_encode(arr, precision=16, predictor=predictor)
+    out, _ = X.jpeg_sv1_decode(stream)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_jpeg_p14_golden_predictor_2():
+    """Hand-checkable predictor-2 (Rb) stream: encode [[100, 101], [103,
+    104]] with Ss=2 and verify the diff sequence the encoder must emit —
+    first sample default (32768), first line Ra, row start Rb, interior
+    Rb."""
+    arr = np.array([[100, 101], [103, 104]], np.uint16)
+    stream = X.jpeg_sv1_encode(arr, precision=16, predictor=2)
+    out, _ = X.jpeg_sv1_decode(stream, native=False)
+    np.testing.assert_array_equal(out, arr)
+    # interior sample (1,1)=104 must have been predicted from Rb=101
+    # (diff 3), not Ra=103 (diff 1): flip the predictor byte to Ss=1 and
+    # the same entropy data must decode to a DIFFERENT interior value
+    sv1 = bytearray(stream)
+    sos = sv1.find(b"\xFF\xDA")
+    sv1[sos + 2 + 2 + 1 + 2] = 1
+    out_sv1, _ = X.jpeg_sv1_decode(bytes(sv1), native=False)
+    assert out_sv1[1, 1] == 103 + 3  # same diff, Ra prediction
+    assert out_sv1[0, 0] == 100 and out_sv1[1, 0] == 103  # rest unchanged
+
+
+def test_jpeg_p14_rejects_selection_0_and_8():
+    stream = bytearray(X.jpeg_sv1_encode(np.zeros((4, 4), np.uint16)))
+    sos = stream.find(b"\xFF\xDA")
+    for bad in (0, 8):
+        stream[sos + 2 + 2 + 1 + 2] = bad
+        with pytest.raises(ValueError, match="selection value"):
+            X.jpeg_sv1_decode(bytes(stream), native=False)
+    with pytest.raises(ValueError, match="predictor"):
+        X.jpeg_sv1_encode(np.zeros((4, 4), np.uint16), predictor=0)
+
+
 # ------------------------------------------------- encapsulation framing
 
 def test_encapsulate_parse_roundtrip():
@@ -232,7 +296,8 @@ def _write_compressed_file(tmp_path, arr, tsu, name):
     return path
 
 
-@pytest.mark.parametrize("tsu", [C.RLE_LOSSLESS, C.JPEG_LOSSLESS_SV1])
+@pytest.mark.parametrize(
+    "tsu", [C.RLE_LOSSLESS, C.JPEG_LOSSLESS_SV1, C.JPEG_LOSSLESS_P14])
 def test_dcmread_pixel_array_bit_exact(tmp_path, tsu):
     """VERDICT done-criterion: dcmread(...).pixel_array on RLE and
     JPEG-Lossless files matches the uncompressed pixels bit-exactly."""
@@ -253,7 +318,27 @@ def test_dcmread_pixel_array_bit_exact(tmp_path, tsu):
         assert os.path.getsize(path) < os.path.getsize(plain)
 
 
-@pytest.mark.parametrize("tsu", [C.RLE_LOSSLESS, C.JPEG_LOSSLESS_SV1])
+def test_dcmread_p14_nondefault_predictor(tmp_path):
+    """A .4.57 file whose codestream uses predictor 6 (legal there, not
+    under .4.70) reads bit-exactly — the archive shape a DCMTK-class
+    encoder can produce."""
+    rng = np.random.default_rng(9)
+    arr = _ct_slice(rng, 20, 36)
+    ds = C.new_ct_dataset(*arr.shape, signed=True, instance_number=1)
+    ds.set_pixel_array(arr)
+    frag = X.jpeg_sv1_encode(arr.view(np.uint16), precision=16,
+                             predictor=6)
+    ds.set_raw((0x7FE0, 0x0010), "OB", X.encapsulate([frag]))
+    ds.transfer_syntax_uid = C.JPEG_LOSSLESS_P14
+    path = os.path.join(str(tmp_path), "p14.dcm")
+    C.dcmwrite(path, ds, transfer_syntax=C.JPEG_LOSSLESS_P14)
+    out = C.dcmread(path).pixel_array
+    assert out.dtype == np.int16
+    np.testing.assert_array_equal(out, arr)
+
+
+@pytest.mark.parametrize(
+    "tsu", [C.RLE_LOSSLESS, C.JPEG_LOSSLESS_SV1, C.JPEG_LOSSLESS_P14])
 def test_compressed_file_rewrites_as_explicit_le(tmp_path, tsu):
     """save_as on a compressed read normalizes to Explicit VR LE (the
     reference forces ExplicitVRLittleEndian on rewrite, masking.py)."""
