@@ -343,10 +343,10 @@ def jpeg_sv1_decode(data: bytes, *,
     (multi-component scans, hierarchical selection value 0).
 
     The native C++ decoder (native/dicom_codec.cc, ~55x this Python
-    implementation at 512^2) is tried first; it covers the dominant SV1
-    profile and declines anything else, in which case this pure-Python
-    path — the reference semantics — decodes it (`native=False` forces
-    it, for parity tests).
+    implementation at 512^2) is tried first; it covers all seven
+    predictors and declines anything outside the profile, in which case
+    this pure-Python path — the reference semantics — decodes it
+    (`native=False` forces it, for parity tests).
     """
     if native:
         from ducosy_tpu.dicom.native import jpeg_sv1_decode_native

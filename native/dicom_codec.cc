@@ -136,7 +136,7 @@ bool skip_sequence(Cursor& c) {
 }
 
 // ---------------------------------------------------------------------------
-// JPEG Lossless SV1 (ITU-T T.81 process 14, selection value 1) decoder —
+// JPEG Lossless (ITU-T T.81 process 14, selection values 1-7) decoder —
 // the native fast path behind ducosy_tpu/dicom/compressed.jpeg_sv1_decode
 // (the pure-Python decoder is ~600 ms per 512^2 slice; this is ~milliseconds,
 // which keeps compressed CT archives loader-bound friendly). Semantics are
@@ -389,10 +389,12 @@ int parse_slice(const uint8_t* buf, uint64_t len, SliceMeta* out) {
   return 0;
 }
 
-// JPEG Lossless SV1 decode. Returns 0 ok; 1 malformed/truncated;
-// 3 unsupported JPEG feature (other SOF process, multi-component,
-// selection value != 1). out must hold rows*cols uint16s (capacity
-// checked against the SOF3 geometry).
+// JPEG Lossless (T.81 process 14) decode, any Table H.1 predictor
+// (selection values 1-7; covers DICOM .4.70 SV1 and the general .4.57
+// syntax). Returns 0 ok; 1 malformed/truncated; 3 unsupported JPEG
+// feature (other SOF process, multi-component, selection value 0/8+).
+// out must hold rows*cols uint16s (capacity checked against the SOF3
+// geometry).
 int decode_jpeg_sv1(const uint8_t* data, uint64_t len, uint16_t* out,
                     uint64_t out_capacity, int32_t* rows_out,
                     int32_t* cols_out, int32_t* precision_out) {
@@ -401,7 +403,7 @@ int decode_jpeg_sv1(const uint8_t* data, uint64_t len, uint16_t* out,
   int precision = -1, rows = 0, cols = 0;
   JHuffTable tables[4];
   int restart_interval = 0;
-  int table_id = -1, al = 0;
+  int table_id = -1, al = 0, sel = 1;
   size_t entropy_start = 0;
   bool have_scan = false;
   while (pos + 4 <= len) {
@@ -447,9 +449,9 @@ int decode_jpeg_sv1(const uint8_t* data, uint64_t len, uint16_t* out,
       if (ns != 1) return 3;
       if (seg_n < static_cast<size_t>(1 + 2 * ns + 3)) return 1;
       table_id = seg[2] >> 4;
-      int selection = seg[1 + 2 * ns];
+      sel = seg[1 + 2 * ns];
       al = seg[3 + 2 * ns] & 0x0F;
-      if (selection != 1) return 3;  // only SV1
+      if (sel < 1 || sel > 7) return 3;  // hierarchical (0) / reserved
       entropy_start = pos + seg_len;
       have_scan = true;
       break;
@@ -469,6 +471,7 @@ int decode_jpeg_sv1(const uint8_t* data, uint64_t len, uint16_t* out,
   int def = 1 << (precision - 1 - al);
   int remaining = restart_interval ? restart_interval : -1;
   bool reset = true;  // start-of-scan behaves like a restart
+  int first_line_row = 0;  // interval's first line uses Ra (T.81 H.2.2)
   uint64_t idx = 0;
   for (int r = 0; r < rows; ++r) {
     for (int c = 0; c < cols; ++c) {
@@ -496,10 +499,23 @@ int decode_jpeg_sv1(const uint8_t* data, uint64_t len, uint16_t* out,
       if (reset) {
         pred = def;
         reset = false;
+        first_line_row = r;
       } else if (c == 0) {
         pred = out[idx - cols];  // Rb: first sample of the row
+      } else if (r == first_line_row || sel == 1) {
+        pred = out[idx - 1];  // Ra (predictor 1; mandated on first line)
       } else {
-        pred = out[idx - 1];  // Ra: left neighbour (SV1)
+        int ra = out[idx - 1];
+        int rb = out[idx - cols];
+        int rc = out[idx - cols - 1];
+        switch (sel) {
+          case 2: pred = rb; break;
+          case 3: pred = rc; break;
+          case 4: pred = ra + rb - rc; break;
+          case 5: pred = ra + ((rb - rc) >> 1); break;
+          case 6: pred = rb + ((ra - rc) >> 1); break;
+          default: pred = (ra + rb) >> 1; break;  // sel == 7
+        }
       }
       out[idx++] = static_cast<uint16_t>((pred + diff) & 0xFFFF);
       if (remaining > 0) --remaining;
