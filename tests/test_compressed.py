@@ -318,6 +318,30 @@ def test_dcmread_pixel_array_bit_exact(tmp_path, tsu):
         assert os.path.getsize(path) < os.path.getsize(plain)
 
 
+def test_dcmread_jpeg_frame_spanning_fragments(tmp_path):
+    """PS3.5 A.4 allows one frame to span several fragments; the decoder
+    joins them.  Split at even offsets (encapsulate pads odd fragments,
+    which mid-stream would corrupt the codestream — the same reason real
+    encoders split on even boundaries)."""
+    rng = np.random.default_rng(11)
+    arr = _ct_slice(rng, 16, 28)
+    ds = C.new_ct_dataset(*arr.shape, signed=True, instance_number=1)
+    ds.set_pixel_array(arr)
+    stream = X.jpeg_sv1_encode(arr.view(np.uint16), precision=16)
+    cut = (len(stream) // 3) & ~1
+    frags = [stream[:cut], stream[cut:2 * cut], stream[2 * cut:]]
+    ds.set_raw((0x7FE0, 0x0010), "OB", X.encapsulate(frags))
+    ds.transfer_syntax_uid = C.JPEG_LOSSLESS_SV1
+    path = os.path.join(str(tmp_path), "frag.dcm")
+    C.dcmwrite(path, ds, transfer_syntax=C.JPEG_LOSSLESS_SV1)
+    ds2 = C.dcmread(path)
+    np.testing.assert_array_equal(ds2.pixel_array, arr)
+    # pass-through kept the 3-fragment framing
+    _, out_frags = X.parse_encapsulated(
+        ds2.get_element((0x7FE0, 0x0010)).raw)
+    assert len(out_frags) == 3
+
+
 def test_dcmread_p14_nondefault_predictor(tmp_path):
     """A .4.57 file whose codestream uses predictor 6 (legal there, not
     under .4.70) reads bit-exactly — the archive shape a DCMTK-class
