@@ -168,6 +168,18 @@ def main():
     from ducosy_tpu.infer.engine import DualGeneratorEngine
     from ducosy_tpu.models import Generator
 
+    # the loader section's rate depends on the native DICOM parser; make
+    # sure it's built (no-op when current, and a build failure just means
+    # the loader measures the Python-codec path instead)
+    try:
+        subprocess.run(
+            ["make", "-C",
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "native")],
+            capture_output=True, timeout=120, check=False)
+    except Exception:
+        pass
+
     n_slices = int(os.environ.get("BENCH_SLICES", "64"))
     # chunk stays 32: the ab_mega_trunk compute-only sweep favored 64
     # (116.4 vs 111.4), but the FULL bench path measured head-to-head the
